@@ -1,0 +1,393 @@
+"""Gaussian-process core: priors, finite-dimensional distributions,
+observations, and posteriors.
+
+TPU-native replacement for the slice of ``stheno`` the reference uses
+(``gpar/model.py:5`` imports ``Obs``/``PseudoObs``; call-site semantics are
+documented in SURVEY.md §2.3):
+
+- ``GP(kernel)``: zero-mean prior.
+- ``f(x, noise)``: finite-dimensional distribution (``FDD``) with per-point
+  noise (``noise / w`` at ``gpar/model.py:270,287``); ``.sample(key)`` and
+  ``.logpdf(y)``.
+- ``Obs(f(x, noise), y)``: exact observations; ``obs.logpdf`` is the
+  marginal likelihood (``f.measure.logpdf(obs)``, ``gpar/model.py:226``).
+- ``PseudoObs(f(x_ind), f(x, noise), y)``: Titsias collapsed ELBO
+  (``gpar/model.py:286-289``), equal to the exact logpdf when
+  ``x_ind == x`` (parity fixture ``tests/test_model.py:141-149``).
+- ``f | obs``: posterior with evaluable ``.mean`` and sampleable FDDs
+  (``gpar/model.py:170,298-299``).
+
+All objects are frozen-dataclass pytrees with *precomputed factors* (chol,
+solves) as leaves, so conditioning happens once and sampling/prediction jit
+cleanly with the factors as constants or arguments.  Everything is
+shape-static; rows with NaNs are filtered by the caller (GPAR model layer)
+before construction.
+
+``Obs`` and ``PseudoObs`` are factory functions returning ``DenseObs`` /
+``TitsiasObs`` dataclasses, so call sites read like the reference while the
+pytree types stay clean.
+"""
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ops.kernels import Kernel, gram, kdiag
+from ..ops.linalg import (
+    LOG_2PI,
+    mvn_logpdf_chol,
+    safe_cholesky,
+    solve_chol,
+    solve_lower,
+    titsias_elbo,
+)
+
+__all__ = [
+    "GP",
+    "FDD",
+    "Obs",
+    "PseudoObs",
+    "SparseObs",
+    "DenseObs",
+    "TitsiasObs",
+    "PosteriorGP",
+    "SparsePosteriorGP",
+    "condition",
+]
+
+
+def _register(cls, meta_fields=()):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(
+        cls,
+        data_fields=[f for f in fields if f not in meta_fields],
+        meta_fields=list(meta_fields),
+    )
+    return cls
+
+
+def _upcol(x):
+    x = jnp.asarray(x)
+    return x[:, None] if x.ndim == 1 else x
+
+
+def _vec(y):
+    y = jnp.asarray(y)
+    return y[:, 0] if y.ndim == 2 else y
+
+
+def _noise_vec(noise, n, dtype):
+    """Broadcast scalar / vector noise to an (n,) vector; None stays None."""
+    if noise is None:
+        return None
+    noise = jnp.asarray(noise, dtype=dtype)
+    if noise.ndim == 0:
+        return jnp.full((n,), noise, dtype=dtype)
+    return jnp.reshape(noise, (n,))
+
+
+class AbstractGP:
+    """Mixin providing the common GP surface (call, mean, condition)."""
+
+    def __call__(self, x, noise=None):
+        x = _upcol(x)
+        return FDD(self, x, _noise_vec(noise, x.shape[0], x.dtype))
+
+    def mean(self, x):
+        """Mean at inputs, as an (n, 1) column (stheno convention relied on
+        by ``gpar/model.py:299,305``)."""
+        return self.mean_vec(_upcol(x))[:, None]
+
+    def __or__(self, obs):
+        return condition(self, obs)
+
+
+@dataclass(frozen=True)
+class GP(AbstractGP):
+    """Zero-mean GP prior (``GP(kernel, measure=Measure())``,
+    ``gpar/regression.py:176-180``)."""
+
+    kernel: Kernel
+
+    def mean_vec(self, x):
+        return jnp.zeros(x.shape[0], dtype=x.dtype)
+
+    def cov(self, x, y=None):
+        x = _upcol(x)
+        y = x if y is None else _upcol(y)
+        return gram(self.kernel, x, y)
+
+    def cov_diag(self, x):
+        return kdiag(self.kernel, _upcol(x))
+
+
+_register(GP)
+
+
+@dataclass(frozen=True)
+class PosteriorGP(AbstractGP):
+    """Exact posterior of a zero-mean GP given noisy observations.
+
+    Stores the conditioning set and its factorisation so that further exact
+    conditioning concatenates data and refactors.
+
+    mean(x*) = K(x*, X) alpha,  alpha = (K(X, X) + D)^{-1} y
+    cov(x*, y*) = K(x*, y*) - V_x^T V_y,  V_x = L^{-1} K(X, x*)
+    """
+
+    kernel: Kernel
+    x_data: jnp.ndarray  # (n, d)
+    y_data: jnp.ndarray  # (n,)
+    noise_diag: jnp.ndarray  # (n,)
+    L: jnp.ndarray  # (n, n) chol of K + D
+    alpha: jnp.ndarray  # (n,)
+
+    def mean_vec(self, x):
+        return gram(self.kernel, x, self.x_data) @ self.alpha
+
+    def cov(self, x, y=None):
+        x = _upcol(x)
+        y = x if y is None else _upcol(y)
+        Vx = solve_lower(self.L, gram(self.kernel, self.x_data, x))
+        Vy = Vx if y is x else solve_lower(self.L, gram(self.kernel, self.x_data, y))
+        return gram(self.kernel, x, y) - Vx.T @ Vy
+
+    def cov_diag(self, x):
+        x = _upcol(x)
+        Vx = solve_lower(self.L, gram(self.kernel, self.x_data, x))
+        return kdiag(self.kernel, x) - jnp.sum(Vx * Vx, axis=0)
+
+
+_register(PosteriorGP)
+
+
+@dataclass(frozen=True)
+class SparsePosteriorGP(AbstractGP):
+    """Titsias variational posterior of a zero-mean GP.
+
+    mean(x*) = K(x*, Z) beta
+    cov(x*, y*) = K(x*, y*) - T1_x^T T1_y + T2_x^T T2_y
+      with T1_x = Lm^{-1} K(Z, x*),  T2_x = LB^{-1} T1_x,
+      Lm = chol(Kmm),  LB = chol(I + A A^T),  A = Lm^{-1} Kmn D^{-1/2}.
+    """
+
+    kernel: Kernel
+    x_ind: jnp.ndarray  # (m, d)
+    Lm: jnp.ndarray  # (m, m)
+    LB: jnp.ndarray  # (m, m)
+    beta: jnp.ndarray  # (m,)
+
+    def mean_vec(self, x):
+        return gram(self.kernel, x, self.x_ind) @ self.beta
+
+    def cov(self, x, y=None):
+        x = _upcol(x)
+        y = x if y is None else _upcol(y)
+        T1x = solve_lower(self.Lm, gram(self.kernel, self.x_ind, x))
+        T1y = T1x if y is x else solve_lower(self.Lm, gram(self.kernel, self.x_ind, y))
+        T2x = solve_lower(self.LB, T1x)
+        T2y = T2x if y is x else solve_lower(self.LB, T1y)
+        return gram(self.kernel, x, y) - T1x.T @ T1y + T2x.T @ T2y
+
+    def cov_diag(self, x):
+        x = _upcol(x)
+        T1x = solve_lower(self.Lm, gram(self.kernel, self.x_ind, x))
+        T2x = solve_lower(self.LB, T1x)
+        return (
+            kdiag(self.kernel, x)
+            - jnp.sum(T1x * T1x, axis=0)
+            + jnp.sum(T2x * T2x, axis=0)
+        )
+
+
+_register(SparsePosteriorGP)
+
+
+@dataclass(frozen=True)
+class FDD:
+    """Finite-dimensional distribution ``f(x, noise)``.
+
+    ``noise`` is None (latent) or an (n,) per-point variance vector
+    (``noise / w``, ``gpar/model.py:270``).
+    """
+
+    f: AbstractGP
+    x: jnp.ndarray  # (n, d)
+    noise: Optional[jnp.ndarray]  # (n,) or None
+
+    def mean_vec(self):
+        return self.f.mean_vec(self.x)
+
+    def cov(self):
+        K = self.f.cov(self.x)
+        if self.noise is not None:
+            K = K + jnp.diag(self.noise)
+        return K
+
+    def chol(self):
+        return safe_cholesky(self.cov())
+
+    def logpdf(self, y):
+        """Exact MVN log density (``fdd.logpdf(y)``,
+        ``tests/test_model.py:137-147``)."""
+        return mvn_logpdf_chol(_vec(y), self.mean_vec(), self.chol())
+
+    def sample(self, key, num_samples=None):
+        """Joint MVN draw(s); returns (n, 1) for a single sample (stheno
+        convention: ``gpar/model.py:264,270``) or (num_samples, n, 1)."""
+        n = self.x.shape[0]
+        L = self.chol()
+        m = self.mean_vec()
+        if num_samples is None:
+            z = jax.random.normal(key, (n,), dtype=self.x.dtype)
+            return (m + L @ z)[:, None]
+        z = jax.random.normal(key, (num_samples, n), dtype=self.x.dtype)
+        return (m + z @ L.T)[..., None]
+
+
+_register(FDD)
+
+
+@dataclass(frozen=True)
+class DenseObs:
+    """Exact observations with precomputed factors.  Build via ``Obs``."""
+
+    fdd: FDD
+    y: jnp.ndarray  # (n,)
+    L: jnp.ndarray  # chol of cov + D
+    residual: jnp.ndarray  # y - mean
+
+    @property
+    def logpdf(self):
+        """Marginal likelihood of ``y`` under the FDD — for a prior ``f``
+        this is the training objective term (``gpar/model.py:226``)."""
+        n = self.y.shape[0]
+        if n == 0:
+            return jnp.zeros((), dtype=self.fdd.x.dtype)
+        a = solve_lower(self.L, self.residual)
+        return (
+            -0.5 * n * LOG_2PI
+            - jnp.sum(jnp.log(jnp.diagonal(self.L)))
+            - 0.5 * jnp.sum(a * a)
+        )
+
+
+_register(DenseObs)
+
+
+@dataclass(frozen=True)
+class TitsiasObs:
+    """Titsias inducing-point observations with precomputed m x m factors
+    shared by the ELBO and the sparse posterior.  Build via ``PseudoObs``.
+    O(n m^2); the n x n Gram is never formed.
+    """
+
+    fdd_ind: FDD
+    fdd: FDD
+    y: jnp.ndarray  # (n,)
+    Lm: jnp.ndarray  # (m, m)
+    LB: jnp.ndarray  # (m, m)
+    beta: jnp.ndarray  # (m,)
+    elbo: jnp.ndarray  # scalar
+
+    @property
+    def logpdf(self):
+        """The collapsed ELBO (lower-bounds the exact marginal likelihood;
+        equals it when inducing inputs coincide with the data)."""
+        return self.elbo
+
+
+_register(TitsiasObs)
+
+
+def Obs(fdd, y):
+    """Exact observations ``Obs(f(x, noise), y)`` (``gpar/model.py:289``)."""
+    y = _vec(y)
+    L = fdd.chol()
+    return DenseObs(fdd=fdd, y=y, L=L, residual=y - fdd.mean_vec())
+
+
+def PseudoObs(fdd_ind, fdd, y):
+    """Titsias observations ``PseudoObs(f(x_ind), f(x, noise), y)``
+    (``gpar/model.py:287``)."""
+    f = fdd.f
+    if not isinstance(f, GP):
+        raise NotImplementedError(
+            "PseudoObs is only supported on prior GPs (the reference only "
+            "builds sparse observations on prior layers, gpar/model.py:286)."
+        )
+    y = _vec(y)
+    x, z = fdd.x, fdd_ind.x
+    noise = fdd.noise
+    if noise is None:
+        raise ValueError("PseudoObs requires observation noise.")
+    kern = f.kernel
+    Kmm = gram(kern, z, z)
+    Kmn = gram(kern, z, x)
+    knn_diag = kdiag(kern, x)
+
+    elbo = titsias_elbo(Kmm, Kmn, knn_diag, y, jnp.zeros_like(y), noise)
+
+    # Posterior factors.
+    m = z.shape[0]
+    d_isqrt = 1.0 / jnp.sqrt(noise)
+    Lm = safe_cholesky(Kmm)
+    A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
+    LB = jnp.linalg.cholesky(A @ A.T + jnp.eye(m, dtype=A.dtype))
+    u = A @ (y * d_isqrt)
+    # beta = Sigma_B^{-1} Kmn D^{-1} y with Sigma_B = Kmm + Kmn D^{-1} Knm
+    #      = Lm^{-T} (LB LB^T)^{-1} u
+    beta = solve_triangular(Lm, solve_chol(LB, u), lower=True, trans=1)
+    return TitsiasObs(
+        fdd_ind=fdd_ind, fdd=fdd, y=y, Lm=Lm, LB=LB, beta=beta, elbo=elbo
+    )
+
+
+#: Alias matching stheno's ``SparseObs`` (``tests/test_model.py:9,144``).
+SparseObs = PseudoObs
+
+
+def condition(f, obs):
+    """Posterior GP ``f | obs`` (``gpar/model.py:170,298``)."""
+    if isinstance(obs, TitsiasObs):
+        if not isinstance(f, GP):
+            raise NotImplementedError(
+                "Sparse conditioning of a non-prior GP is not supported."
+            )
+        return SparsePosteriorGP(
+            kernel=f.kernel,
+            x_ind=obs.fdd_ind.x,
+            Lm=obs.Lm,
+            LB=obs.LB,
+            beta=obs.beta,
+        )
+    if not isinstance(obs, DenseObs):
+        raise TypeError(f"Cannot condition on {type(obs)!r}")
+
+    x_new, y_new = obs.fdd.x, obs.y
+    noise_new = obs.fdd.noise
+    if noise_new is None:
+        noise_new = jnp.zeros(x_new.shape[0], dtype=x_new.dtype)
+
+    if isinstance(f, GP):
+        return _condition_dense(f.kernel, x_new, y_new, noise_new)
+    if isinstance(f, PosteriorGP):
+        # Condition on the union of old and new data.
+        x_all = jnp.concatenate([f.x_data, x_new], axis=0)
+        y_all = jnp.concatenate([f.y_data, y_new], axis=0)
+        d_all = jnp.concatenate([f.noise_diag, noise_new], axis=0)
+        return _condition_dense(f.kernel, x_all, y_all, d_all)
+    raise NotImplementedError(f"Cannot condition {type(f)!r} on exact obs.")
+
+
+def _condition_dense(kernel, x, y, noise_diag):
+    K = gram(kernel, x, x) + jnp.diag(noise_diag)
+    L = safe_cholesky(K)
+    alpha = solve_chol(L, y)
+    return PosteriorGP(
+        kernel=kernel, x_data=x, y_data=y, noise_diag=noise_diag, L=L, alpha=alpha
+    )

@@ -1,0 +1,158 @@
+"""Dense linear algebra for the GP core.
+
+This is the TPU-native replacement for the numerics the reference delegates
+to stheno/matrix/torch-LAPACK: jittered Cholesky factorisations, triangular
+solves, MVN log-densities and the collapsed Titsias (2009) ELBO with
+per-point noise (invoked by the reference at ``gpar/model.py:226`` via
+``f.measure.logpdf(obs)`` and at ``gpar/model.py:286-289`` via
+``PseudoObs``).
+
+Everything here is shape-static and jit/grad-safe.  Cholesky failures are
+handled with an escalating-jitter retry ladder (``lax.cond`` so only one
+factorisation runs when the first succeeds), mirroring the reference's
+reliance on the global ``B.epsilon`` knob (see ``config.epsilon``).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from ..config import config
+
+__all__ = [
+    "add_jitter",
+    "safe_cholesky",
+    "solve_lower",
+    "solve_chol",
+    "mvn_logpdf",
+    "mvn_logpdf_chol",
+    "titsias_elbo",
+    "LOG_2PI",
+]
+
+LOG_2PI = 1.8378770664093453  # log(2 * pi)
+
+
+def add_jitter(K, epsilon=None):
+    """Add ``epsilon`` to the diagonal of a square matrix."""
+    eps = config.epsilon if epsilon is None else epsilon
+    n = K.shape[-1]
+    return K + eps * jnp.eye(n, dtype=K.dtype)
+
+
+def safe_cholesky(K, epsilon=None):
+    """Cholesky with escalating-jitter retries.
+
+    Tries ``K + eps I`` first; on NaN (indefinite matrix) escalates the
+    jitter by ``config.cholesky_retry_factors``.  ``lax.cond`` ensures only
+    the needed factorisations execute under jit.
+    """
+    eps = config.epsilon if epsilon is None else epsilon
+    n = K.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(K)
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def attempt(e):
+        return jnp.linalg.cholesky(K + e * eye)
+
+    L = attempt(eps)
+    for factor in config.cholesky_retry_factors:
+        L = lax.cond(
+            jnp.all(jnp.isfinite(L)),
+            lambda L=L: L,
+            lambda f=factor: attempt(eps * f),
+        )
+    return L
+
+
+def solve_lower(L, b):
+    """Solve ``L x = b`` with ``L`` lower triangular."""
+    if L.shape[-1] == 0:
+        return b
+    return solve_triangular(L, b, lower=True)
+
+
+def solve_chol(L, b):
+    """Solve ``(L L^T) x = b`` given the Cholesky factor ``L``."""
+    if L.shape[-1] == 0:
+        return b
+    return solve_triangular(
+        L, solve_triangular(L, b, lower=True), lower=True, trans=1
+    )
+
+
+def mvn_logpdf_chol(y, mean, L):
+    """Exact MVN log density given the Cholesky factor of the covariance.
+
+    Replaces ``stheno``'s ``fdd.logpdf(y)`` (reference semantics at
+    ``tests/test_model.py:137-147``).  ``y``/``mean`` are vectors (n,).
+    """
+    n = y.shape[0]
+    if n == 0:
+        return jnp.zeros((), dtype=y.dtype)
+    r = y - mean
+    a = solve_lower(L, r)
+    return (
+        -0.5 * n * LOG_2PI
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * jnp.sum(a * a)
+    )
+
+
+def mvn_logpdf(y, mean, K, epsilon=None):
+    """Exact MVN log density with covariance ``K`` (jittered Cholesky)."""
+    return mvn_logpdf_chol(y, mean, safe_cholesky(K, epsilon))
+
+
+def titsias_elbo(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
+    """Collapsed Titsias (2009) ELBO with heteroscedastic noise.
+
+    Computes (reference semantics pinned by ``tests/test_model.py:141-149``:
+    equals the exact logpdf when inducing inputs coincide with the data)::
+
+        log N(y | mean, Q_nn + D) - 1/2 * sum_i (K_nn - Q_nn)_ii / D_ii
+
+    where ``Q_nn = K_nm K_mm^{-1} K_mn`` and ``D = diag(noise_diag)`` is the
+    per-point noise ``noise / w`` (``gpar/model.py:287``).
+
+    All heavy work is in the m x n panel products, which XLA maps onto the
+    MXU; cost is O(n m^2), never materialising an n x n matrix.
+
+    Args:
+        Kmm: (m, m) Gram at inducing points.
+        Kmn: (m, n) cross Gram inducing x data.
+        knn_diag: (n,) data-kernel diagonal.
+        y: (n,) observations.
+        mean: (n,) prior mean at the data (zero for prior GPs).
+        noise_diag: (n,) per-point noise variances.
+
+    Returns:
+        Scalar ELBO.
+    """
+    n = y.shape[0]
+    m = Kmm.shape[0]
+    if n == 0:
+        return jnp.zeros((), dtype=y.dtype)
+    r = y - mean
+    d_isqrt = 1.0 / jnp.sqrt(noise_diag)
+
+    Lm = safe_cholesky(Kmm, epsilon)
+    # A = Lm^{-1} Kmn D^{-1/2}  (m, n)
+    A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
+    B = A @ A.T + jnp.eye(m, dtype=A.dtype)
+    LB = jnp.linalg.cholesky(B)
+    # c = LB^{-1} A (r / sqrt(D))
+    c = solve_lower(LB, A @ (r * d_isqrt))
+
+    logdet = jnp.sum(jnp.log(noise_diag)) + 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(LB))
+    )
+    quad = jnp.sum(r * r / noise_diag) - jnp.sum(c * c)
+    lognorm = -0.5 * (n * LOG_2PI + logdet + quad)
+
+    # trace term: -1/2 sum_i (k_nn,i - q_nn,i) / d_i; note q_nn,i / d_i is
+    # the i-th column sum of A^2.
+    trace = -0.5 * (jnp.sum(knn_diag / noise_diag) - jnp.sum(A * A))
+    return lognorm + trace
