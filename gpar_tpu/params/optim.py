@@ -77,7 +77,11 @@ def minimise_l_bfgs_b(
         grad = optax.tree_utils.tree_get(state, "grad")
         value = optax.tree_utils.tree_get(state, "value")
         gnorm = jnp.max(jnp.abs(grad))
-        return (count < iters) & (gnorm > gtol) & jnp.isfinite(value)
+        # The freshly-initialised state carries value=inf/grad=0; always take
+        # the first step.
+        return (count < iters) & (
+            (count == 0) | ((gnorm > gtol) & jnp.isfinite(value))
+        )
 
     state0 = opt.init(z0)
 

@@ -1,0 +1,27 @@
+"""Test configuration.
+
+Tests run on the host CPU backend with true float64 (the parity bar of the
+reference suite is 1e-6 under torch.float64) and with 8 virtual host
+devices so the multi-chip sharding paths can be exercised without TPU
+hardware.
+
+Note: on this image the 'axon' TPU plugin registers itself with higher
+priority than the CPU backend and ``JAX_PLATFORMS=cpu`` does not exclude
+it, so we pin ``jax_default_device`` to the first CPU device instead.
+``XLA_FLAGS`` must be set before JAX initialises a backend, hence the env
+manipulation at conftest import time.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+import gpar_tpu  # noqa: E402, F401 — enables x64 before any array ops
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])

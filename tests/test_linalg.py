@@ -1,0 +1,156 @@
+"""Linear-algebra core tests: jittered Cholesky, MVN logpdf, Titsias ELBO."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpar_tpu.config import config
+from gpar_tpu.ops import (
+    EQ,
+    gram,
+    kdiag,
+    mvn_logpdf,
+    mvn_logpdf_chol,
+    safe_cholesky,
+    solve_chol,
+    solve_lower,
+    titsias_elbo,
+)
+
+from .util import approx
+
+rng = np.random.default_rng(1)
+
+
+def _spd(n):
+    a = rng.normal(size=(n, n))
+    return a @ a.T + n * np.eye(n)
+
+
+def test_safe_cholesky_spd():
+    K = _spd(6)
+    L = np.asarray(safe_cholesky(jnp.asarray(K)))
+    approx(L @ L.T, K + config.epsilon * np.eye(6), atol=1e-9)
+
+
+def test_safe_cholesky_retries_on_indefinite():
+    # A singular PSD matrix whose plain Cholesky (plus the tiny default
+    # jitter) fails in float64 → the escalating ladder must kick in and
+    # return a finite factor.
+    v = rng.normal(size=(8, 1))
+    K = v @ v.T  # rank 1
+    K = K - 1e-9 * np.eye(8)  # slightly indefinite
+    L = np.asarray(safe_cholesky(jnp.asarray(K)))
+    assert np.isfinite(L).all()
+
+
+def test_safe_cholesky_under_jit_and_grad():
+    K = jnp.asarray(_spd(5))
+
+    @jax.jit
+    def f(K):
+        return jnp.sum(jnp.log(jnp.diagonal(safe_cholesky(K))))
+
+    g = jax.grad(f)(K)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_solves():
+    K = _spd(7)
+    L = np.linalg.cholesky(K)
+    b = rng.normal(size=7)
+    approx(solve_lower(jnp.asarray(L), jnp.asarray(b)), np.linalg.solve(L, b), atol=1e-9)
+    approx(solve_chol(jnp.asarray(L), jnp.asarray(b)), np.linalg.solve(K, b), atol=1e-9)
+
+
+def test_mvn_logpdf_matches_slogdet_formula():
+    n = 9
+    K = _spd(n)
+    y = rng.normal(size=n)
+    mean = rng.normal(size=n)
+    sign, logdet = np.linalg.slogdet(K)
+    r = y - mean
+    expected = -0.5 * (n * np.log(2 * np.pi) + logdet + r @ np.linalg.solve(K, r))
+    got = mvn_logpdf_chol(
+        jnp.asarray(y), jnp.asarray(mean), jnp.asarray(np.linalg.cholesky(K))
+    )
+    approx(got, expected, atol=1e-9)
+    got2 = mvn_logpdf(jnp.asarray(y), jnp.asarray(mean), jnp.asarray(K))
+    approx(got2, expected, atol=1e-8)
+
+
+def test_mvn_logpdf_empty():
+    z = jnp.zeros((0,))
+    L = jnp.zeros((0, 0))
+    assert float(mvn_logpdf_chol(z, z, L)) == 0.0
+
+
+def test_titsias_elbo_equals_exact_at_inducing_eq_data():
+    # The key parity fixture of the reference
+    # (``tests/test_model.py:141-149``): ELBO == exact logpdf when the
+    # inducing points coincide with the data, with heteroscedastic noise.
+    n = 10
+    x = rng.normal(size=(n, 2))
+    k = EQ()
+    K = np.asarray(gram(k, jnp.asarray(x), jnp.asarray(x)))
+    noise = 0.1 / (rng.uniform(size=n) + 1e-2)
+    y = rng.normal(size=n)
+
+    exact = mvn_logpdf(
+        jnp.asarray(y), jnp.zeros(n), jnp.asarray(K + np.diag(noise))
+    )
+    elbo = titsias_elbo(
+        jnp.asarray(K),
+        jnp.asarray(K),
+        kdiag(k, jnp.asarray(x)),
+        jnp.asarray(y),
+        jnp.zeros(n),
+        jnp.asarray(noise),
+    )
+    approx(elbo, exact, atol=1e-6)
+
+
+def test_titsias_elbo_lower_bounds_exact():
+    n, m = 20, 5
+    x = rng.normal(size=(n, 1))
+    z = np.linspace(x.min(), x.max(), m)[:, None]
+    k = EQ()
+    Knn = np.asarray(gram(k, jnp.asarray(x), jnp.asarray(x)))
+    Kmm = np.asarray(gram(k, jnp.asarray(z), jnp.asarray(z)))
+    Kmn = np.asarray(gram(k, jnp.asarray(z), jnp.asarray(x)))
+    noise = np.full(n, 0.1)
+    y = rng.normal(size=n)
+
+    exact = float(
+        mvn_logpdf(jnp.asarray(y), jnp.zeros(n), jnp.asarray(Knn + np.diag(noise)))
+    )
+    elbo = float(
+        titsias_elbo(
+            jnp.asarray(Kmm),
+            jnp.asarray(Kmn),
+            kdiag(k, jnp.asarray(x)),
+            jnp.asarray(y),
+            jnp.zeros(n),
+            jnp.asarray(noise),
+        )
+    )
+    assert elbo <= exact + 1e-9
+
+
+def test_titsias_elbo_grad_finite_at_small_noise():
+    # Gradient stability at the reference's noise lower bound 1e-8
+    # (``gpar/regression.py:172``).
+    n, m = 12, 4
+    x = jnp.asarray(rng.normal(size=(n, 1)))
+    z = jnp.asarray(np.linspace(-2, 2, m)[:, None])
+    y = jnp.asarray(rng.normal(size=n))
+
+    def obj(log_noise):
+        k = EQ()
+        noise = jnp.exp(log_noise) * jnp.ones(n)
+        return titsias_elbo(
+            gram(k, z, z), gram(k, z, x), kdiag(k, x), y, jnp.zeros(n), noise
+        )
+
+    g = jax.grad(obj)(jnp.log(jnp.asarray(1e-8)))
+    assert np.isfinite(float(g))

@@ -1,0 +1,325 @@
+"""GPAR model-core tests, mirroring the oracle style of the reference suite
+(``/root/reference/tests/test_model.py``): every GPAR-level quantity is
+checked against an independently composed chain of single-GP computations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_tpu.gp import GP, DenseObs, Obs, TitsiasObs, condition
+from gpar_tpu.models.gpar import GPAR, construct_model, last, merge, per_output
+from gpar_tpu.ops import EQ, Linear
+
+from .util import approx, all_different
+
+rng = np.random.default_rng(3)
+
+
+@pytest.fixture(params=[1, 2])
+def x(request):
+    d = request.param
+    return jnp.asarray(rng.normal(size=(10, d)))
+
+
+@pytest.fixture()
+def w():
+    return jnp.asarray(rng.uniform(size=(10, 2)) + 1e-2)
+
+
+def _key(i):
+    return jax.random.PRNGKey(100 + i)
+
+
+def test_merge():
+    original = np.array([1.0, 2.0, 3.0, 4.0])
+    updates = np.array([5.0, 6.0])
+
+    result = merge(original, updates, np.array([True, True, False, False]))
+    approx(result, [5, 6, 3, 4])
+
+    result = merge(original, updates, np.array([True, False, True, False]))
+    approx(result, [5, 2, 6, 4])
+
+
+def test_merge_2d_and_traced():
+    original = jnp.asarray(rng.normal(size=(4, 2)))
+    updates = jnp.asarray(rng.normal(size=(2, 2)))
+    to_update = np.array([False, True, False, True])
+    result = np.asarray(merge(original, updates, to_update))
+    approx(result[[0, 2]], original[jnp.asarray([0, 2])])
+    approx(result[[1, 3]], updates)
+
+    # merge must be jit-safe with traced updates and concrete mask.
+    out = jax.jit(lambda u: merge(original, u, to_update))(updates)
+    approx(out, result)
+
+
+def test_construct_model():
+    model = construct_model(1, 2)
+    assert model() == (1, 2)
+
+
+def test_last():
+    xs = [1, 2, 3, 4]
+    assert list(last(xs)) == [(False, 1), (False, 2), (False, 3), (True, 4)]
+    assert list(last(xs, [1, 2])) == [(False, 2), (False, 3)]
+    assert list(last(xs, [0, 3])) == [(False, 1), (True, 4)]
+    assert list(last([])) == []
+    assert list(last([], [0, 1])) == []
+
+
+@pytest.mark.parametrize("i", [0, 1])
+def test_per_output(i):
+    def per_output_i(y_, **kw_args):
+        for yi, wi, mask in per_output(y_, y_, **kw_args):
+            if i == 0:
+                assert yi.ndim == 2
+                yield np.asarray(yi)[:, 0], mask
+            else:
+                assert wi.ndim == 1
+                yield np.asarray(wi), mask
+
+    y = np.array(
+        [
+            [1, 2, np.nan, np.nan],
+            [3, np.nan, 4, np.nan],
+            [5, 6, 7, np.nan],
+            [8, np.nan, np.nan, np.nan],
+            [9, 10, np.nan, np.nan],
+            [11, np.nan, np.nan, 12],
+        ]
+    )
+
+    expected = [
+        ([1, 3, 5, 8, 9, 11], [True, True, True, True, True, True]),
+        ([2, 6, 10], [True, False, True, False, True, False]),
+        ([7], [False, True, False]),
+        ([], [False]),
+    ]
+    result = [(a.tolist(), np.asarray(b).tolist()) for a, b in per_output_i(y, keep=False)]
+    assert result == expected
+
+    expected = [
+        ([1, 3, 5, 8, 9, 11], [True, True, True, True, True, True]),
+        ([2, None, 6, 10, None], [True, True, True, False, True, True]),
+        ([4, 7, None], [False, True, True, False, True]),
+        ([12], [False, False, True]),
+    ]
+    result = [
+        ([None if np.isnan(c) else c for c in a], np.asarray(b).tolist())
+        for a, b in per_output_i(y, keep=True)
+    ]
+    assert result == expected
+
+
+def test_per_output_caching():
+    assert list(per_output({True: [2, 3], False: [3, 4]}, None, keep=True)) == [2, 3]
+    assert list(per_output({True: [2, 3], False: [4]}, None, keep=False)) == [4]
+
+
+def test_misc():
+    gpar = GPAR(x_ind=None)
+    assert not gpar.sparse
+    assert gpar.x_ind is None
+
+    gpar = GPAR(x_ind=1)
+    assert gpar.sparse
+    assert gpar.x_ind == 1
+
+
+def test_obs(x):
+    f = GP(EQ())
+    noise = 0.1
+
+    w = jnp.asarray(rng.uniform(size=x.shape[0]) + 1e-2)
+    y = np.asarray(f(x, 0.1).sample(_key(0)))
+
+    # Make some observations missing.
+    y_missing = y.copy()
+    y_missing[::2] = np.nan
+
+    # Dense case.
+    gpar = GPAR()
+    obs = gpar._obs(x, None, jnp.asarray(y_missing), w, f, noise)
+    assert isinstance(obs, DenseObs)
+    idx = np.arange(1, x.shape[0], 2)
+    approx(
+        obs.logpdf,
+        f(x[jnp.asarray(idx)], noise / w[jnp.asarray(idx)]).logpdf(y[idx]),
+        atol=1e-6,
+    )
+
+    # Sparse case: inducing == data gives exact parity.
+    gpar = GPAR(x_ind=x)
+    obs = gpar._obs(x, x, jnp.asarray(y_missing), w, f, noise)
+    assert isinstance(obs, TitsiasObs)
+    approx(
+        obs.logpdf,
+        f(x[jnp.asarray(idx)], noise / w[jnp.asarray(idx)]).logpdf(y[idx]),
+        atol=1e-6,
+    )
+
+
+def test_update_inputs():
+    f = GP(EQ())
+
+    x = np.array([[1.0], [2.0], [3.0]])
+    y = np.array([[4.0], [5.0], [6.0]])
+    res = np.concatenate([x, y], axis=1)
+    x_ind = np.array([[6.0], [7.0]])
+    res_ind = np.array([[6.0, 0.0], [7.0, 0.0]])
+
+    # Vanilla case.
+    gpar = GPAR(x_ind=x_ind)
+    approx(gpar._update_inputs(x, x_ind, y, f, None), (res, res_ind), atol=1e-10)
+
+    # Imputation with the prior.
+    gpar = GPAR(impute=True, x_ind=x_ind)
+    this_y = y.copy()
+    this_y[1] = np.nan
+    this_res = res.copy()
+    this_res[1, 1] = 0
+    approx(
+        gpar._update_inputs(x, x_ind, this_y, f, None), (this_res, res_ind), atol=1e-10
+    )
+
+    # Replacing with the prior.
+    gpar = GPAR(replace=True, x_ind=x_ind)
+    this_y = y.copy()
+    this_y[1] = np.nan
+    this_res = res.copy()
+    this_res[0, 1] = 0
+    this_res[1, 1] = np.nan
+    this_res[2, 1] = 0
+    approx(
+        gpar._update_inputs(x, x_ind, this_y, f, None), (this_res, res_ind), atol=1e-10
+    )
+
+    # Imputation and replacing with the prior.
+    gpar = GPAR(impute=True, replace=True, x_ind=x_ind)
+    this_res = res.copy()
+    this_res[:, 1] = 0
+    approx(gpar._update_inputs(x, x_ind, y, f, None), (this_res, res_ind), atol=1e-10)
+
+    # Construct noiseless observations pinning values at data + inducing
+    # sites, so posterior means are exactly the observed values.
+    obs = Obs(f(np.array([1.0, 2.0, 3.0, 6.0, 7.0])), np.array([9.0, 10.0, 11.0, 12.0, 13.0]))
+    res_ind = np.array([[6.0, 12.0], [7.0, 13.0]])
+
+    # Imputation with the posterior.
+    gpar = GPAR(impute=True, x_ind=x_ind)
+    this_y = y.copy()
+    this_y[1] = np.nan
+    this_res = res.copy()
+    this_res[1, 1] = 10
+    approx(
+        gpar._update_inputs(x, x_ind, this_y, f, obs), (this_res, res_ind), atol=1e-4
+    )
+
+    # Replacing with the posterior.
+    gpar = GPAR(replace=True, x_ind=x_ind)
+    this_y = y.copy()
+    this_y[1] = np.nan
+    this_res = res.copy()
+    this_res[0, 1] = 9
+    this_res[1, 1] = np.nan
+    this_res[2, 1] = 11
+    approx(
+        gpar._update_inputs(x, x_ind, this_y, f, obs), (this_res, res_ind), atol=1e-4
+    )
+
+    # Imputation and replacing with the posterior.
+    gpar = GPAR(impute=True, replace=True, x_ind=x_ind)
+    this_res = res.copy()
+    this_res[0, 1] = 9
+    this_res[1, 1] = 10
+    this_res[2, 1] = 11
+    approx(gpar._update_inputs(x, x_ind, y, f, obs), (this_res, res_ind), atol=1e-4)
+
+
+def test_conditioning(x, w):
+    f1, noise1 = GP(EQ()), 1e-10
+    f2, noise2 = GP(EQ()), 2e-10
+    gpar = GPAR().add_layer(lambda: (f1, noise1)).add_layer(lambda: (f2, noise2))
+
+    # Generate data.
+    y = jnp.concatenate(
+        [f1(x, noise1).sample(_key(1)), f2(x, noise2).sample(_key(2))], axis=1
+    )
+
+    # Extract posterior processes.
+    gpar = gpar | (x, y, w)
+    f1_post, noise1_post = gpar.layers[0]()
+    f2_post, noise2_post = gpar.layers[1]()
+
+    assert noise1 == noise1_post
+    assert noise2 == noise2_post
+
+    approx(f1_post.mean(x), y[:, 0:1], atol=1e-3)
+    approx(f2_post.mean(jnp.concatenate([x, y[:, 0:1]], axis=1)), y[:, 1:2], atol=1e-3)
+
+
+def test_logpdf(x, w):
+    f1, noise1 = GP(EQ()), 2e-1
+    f2, noise2 = GP(Linear()), 1e-1
+    gpar = GPAR().add_layer(lambda: (f1, noise1)).add_layer(lambda: (f2, noise2))
+
+    # Generate data.
+    y = gpar.sample(x, w, latent=True, key=_key(3))
+
+    # Compute logpdf part by part.
+    x1 = x
+    x2 = jnp.concatenate([x, y[:, 0:1]], axis=1)
+    logpdf1 = f1(x1, noise1 / w[:, 0]).logpdf(y[:, 0])
+    logpdf2 = f2(x2, noise2 / w[:, 1]).logpdf(y[:, 1])
+
+    approx(gpar.logpdf(x, y, w), logpdf1 + logpdf2, atol=1e-9)
+    approx(gpar.logpdf(x, y, w, only_last_layer=True), logpdf2, atol=1e-9)
+
+    # Resuming computation.
+    x_partial, x_ind_partial = gpar.logpdf(x, y, w, return_inputs=True, outputs=[0])
+    approx(
+        gpar.logpdf(x_partial, y, w, x_ind=x_ind_partial, outputs=[1]),
+        logpdf2,
+        atol=1e-9,
+    )
+
+    # Sampling missing gives a stochastic estimate.
+    y = np.array(y)  # writable host copy
+    y[1, 0] = np.nan
+    all_different(
+        gpar.logpdf(x, jnp.asarray(y), w, sample_missing=True),
+        gpar.logpdf(x, jnp.asarray(y), w, sample_missing=True),
+    )
+
+
+def test_sample(x, w):
+    # Random samples differ.
+    f1, noise1 = GP(EQ()), 1e-1
+    f2, noise2 = GP(EQ()), 2e-1
+    gpar = GPAR().add_layer(lambda: (f1, noise1)).add_layer(lambda: (f2, noise2))
+    all_different(gpar.sample(x, w), gpar.sample(x, w))
+    all_different(gpar.sample(x, w, latent=True), gpar.sample(x, w, latent=True))
+
+    # Posterior samples hug the conditioning data at tiny noise.
+    f1, noise1 = GP(EQ()), 1e-10
+    f2, noise2 = GP(EQ()), 2e-10
+    gpar = GPAR().add_layer(lambda: (f1, noise1)).add_layer(lambda: (f2, noise2))
+    y = gpar.sample(x, w, latent=True, key=_key(4))
+    gpar = gpar | (x, y, w)
+    approx(gpar.sample(x, w), y, atol=1e-3)
+    approx(gpar.sample(x, w, latent=True), y, atol=1e-3)
+
+
+def test_sample_batch_matches_chain(x, w):
+    f1, noise1 = GP(EQ()), 1e-2
+    f2, noise2 = GP(EQ()), 2e-2
+    gpar = GPAR().add_layer(lambda: (f1, noise1)).add_layer(lambda: (f2, noise2))
+
+    batch = gpar.sample_batch(x, w, num_samples=5, key=_key(5))
+    assert batch.shape == (5, x.shape[0], 2)
+    # vmapped sampling must equal the sequential chain with the same keys.
+    keys = jax.random.split(_key(5), 5)
+    seq = gpar.sample(x, w, key=keys[0])
+    approx(batch[0], seq, atol=1e-9)

@@ -1,0 +1,337 @@
+"""GPARRegressor behaviour tests, mirroring the reference estimator suite
+(``/root/reference/tests/test_regression.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpar_tpu import GPARRegressor, log_transform, squishing_transform
+from gpar_tpu.gp import Obs
+from gpar_tpu.models.regressor import (
+    _construct_gpar,
+    _determine_indices,
+    _uprank,
+    _vector_from_init,
+)
+
+from .util import approx, all_different
+
+rng = np.random.default_rng(4)
+
+
+# The reference parametrises x-rank x weights as a 3 x 2 grid
+# (reference tests/test_regression.py:16-28).  Compiles cost ~0.4 s per op
+# signature on this host, so we cover the same surface with three
+# representative combinations: bare vector + no weights, (10, 1) + weights,
+# (10, 2) + weights.
+@pytest.fixture(
+    params=[((10,), False), ((10, 1), True), ((10, 2), True)],
+    ids=["vec-now", "col-w", "mat-w"],
+)
+def xw(request):
+    shape, use_w = request.param
+    x = rng.normal(size=shape)
+    w = rng.uniform(size=(10, 2)) + 1 if use_w else None
+    return x, w
+
+
+def test_log_transform():
+    x = rng.uniform(size=5)
+    f, f_inv = log_transform
+    approx(f(f_inv(x)), x, atol=1e-12)
+
+
+def test_squishing_transform():
+    x = rng.normal(size=5)
+    f, f_inv = squishing_transform
+    approx(f(f_inv(x)), x, atol=1e-12)
+
+
+def test_vector_from_init():
+    approx(_vector_from_init(2, 2), np.array([2, 2]))
+    approx(_vector_from_init(np.array([1, 2, 3]), 2), np.array([1, 2]))
+    with pytest.raises(ValueError):
+        _vector_from_init(rng.normal(size=(2, 2)), 1)
+    with pytest.raises(ValueError):
+        _vector_from_init(np.array([1, 2]), 3)
+
+
+def test_determine_indices():
+    # No Markov structure.
+    assert _determine_indices(1, 0, None) == ([0], [], 0)
+    assert _determine_indices(1, 1, None) == ([0], [1], 1)
+    assert _determine_indices(1, 2, None) == ([0], [1, 2], 2)
+    assert _determine_indices(2, 0, None) == ([0, 1], [], 0)
+    assert _determine_indices(2, 1, None) == ([0, 1], [2], 1)
+    assert _determine_indices(2, 2, None) == ([0, 1], [2, 3], 2)
+
+    # Markov order 0.
+    assert _determine_indices(1, 0, 0) == ([0], [], 0)
+    assert _determine_indices(1, 1, 0) == ([0], [], 0)
+    assert _determine_indices(1, 2, 0) == ([0], [], 0)
+    assert _determine_indices(2, 0, 0) == ([0, 1], [], 0)
+    assert _determine_indices(2, 1, 0) == ([0, 1], [], 0)
+    assert _determine_indices(2, 2, 0) == ([0, 1], [], 0)
+
+    # Markov order 1.
+    assert _determine_indices(1, 0, 1) == ([0], [], 0)
+    assert _determine_indices(1, 1, 1) == ([0], [1], 1)
+    assert _determine_indices(1, 2, 1) == ([0], [2], 1)
+    assert _determine_indices(2, 0, 1) == ([0, 1], [], 0)
+    assert _determine_indices(2, 1, 1) == ([0, 1], [2], 1)
+    assert _determine_indices(2, 2, 1) == ([0, 1], [3], 1)
+
+    # Markov order 2.
+    assert _determine_indices(1, 0, 2) == ([0], [], 0)
+    assert _determine_indices(1, 1, 2) == ([0], [1], 1)
+    assert _determine_indices(1, 2, 2) == ([0], [1, 2], 2)
+    assert _determine_indices(2, 0, 2) == ([0, 1], [], 0)
+    assert _determine_indices(2, 1, 2) == ([0, 1], [2], 1)
+    assert _determine_indices(2, 2, 2) == ([0, 1], [2, 3], 2)
+
+
+def test_get_variables():
+    gpar = GPARRegressor()
+    gpar.vs.get(init=1.0, name="variable")
+    variables = gpar.get_variables()
+    assert list(variables.keys()) == ["variable"]
+    approx(variables["variable"], 1.0)
+
+
+def test_logpdf(xw):
+    x, w = xw
+    # A "sensitive" GPAR whose layers we can also compose manually.
+    reg = GPARRegressor(
+        replace=False,
+        impute=False,
+        nonlinear=True,
+        nonlinear_scale=0.1,
+        linear=True,
+        linear_scale=10.0,
+        noise=1e-2,
+        normalise_y=False,
+    )
+    key = jax.random.PRNGKey(10)
+    y = reg.sample(x, w, p=2, latent=True, key=key)
+
+    # Extract the layer models.
+    gpar = _construct_gpar(reg, reg.vs, _uprank(jnp.asarray(x)).shape[1], 2)
+    f1, noise1 = gpar.layers[0]()
+    f2, noise2 = gpar.layers[1]()
+
+    if w is not None:
+        noise1_ = noise1 / jnp.asarray(w)[:, 0]
+        noise2_ = noise2 / jnp.asarray(w)[:, 1]
+    else:
+        noise1_, noise2_ = noise1, noise2
+
+    # Under the prior.
+    x1 = _uprank(jnp.asarray(x))
+    x2 = jnp.concatenate([x1, jnp.asarray(y)[:, 0:1]], axis=1)
+    logpdf1 = f1(x1, noise1_).logpdf(y[:, 0])
+    logpdf2 = f2(x2, noise2_).logpdf(y[:, 1])
+    approx(reg.logpdf(x, y, w), float(logpdf1 + logpdf2), atol=1e-6)
+
+    # Under the posterior.
+    f1_post = f1 | Obs(f1(x1, noise1_), y[:, 0])
+    f2_post = f2 | Obs(f2(x2, noise2_), y[:, 1])
+    logpdf1 = f1_post(x1, noise1_).logpdf(y[:, 0])
+    logpdf2 = f2_post(x2, noise2_).logpdf(y[:, 1])
+    with pytest.raises(RuntimeError):
+        reg.logpdf(x, y, w, posterior=True)
+    reg.condition(x, y, w)
+    approx(reg.logpdf(x, y, w, posterior=True), float(logpdf1 + logpdf2), atol=1e-6)
+
+    # Sampling missing gives a stochastic estimate.
+    y = np.asarray(y).copy()
+    y[::2, 0] = np.nan
+    all_different(
+        reg.logpdf(x, y, w, sample_missing=True),
+        reg.logpdf(x, y, w, sample_missing=True),
+    )
+
+
+def test_logpdf_differentiable(xw):
+    x, w = xw
+    reg = GPARRegressor(
+        replace=False,
+        impute=False,
+        linear=True,
+        linear_scale=1.0,
+        nonlinear=False,
+        noise=1e-8,
+        normalise_y=False,
+    )
+    y = reg.sample(x, w, p=2, key=jax.random.PRNGKey(11), latent=True)
+
+    # Gradient w.r.t. every variable's latent must exist and be finite
+    # (the JAX analogue of the reference's .backward() check,
+    # reference tests/test_regression.py:140-157).
+    names = reg.vs.names
+    assert len(names) > 0
+    z0 = reg.vs.latent_vector(names)
+
+    def objective(z):
+        view = reg.vs.with_latent_vector(names, z)
+        from gpar_tpu.models.regressor import _construct_gpar
+
+        gpar = _construct_gpar(reg, view, _uprank(jnp.asarray(x)).shape[1], 2)
+        yj = jnp.asarray(y)
+        wj = jnp.ones_like(yj) if w is None else jnp.asarray(w)
+        return gpar.logpdf(_uprank(jnp.asarray(x)), yj, wj)
+
+    grad = jax.grad(objective)(z0)
+    assert grad.shape == z0.shape
+    assert np.isfinite(np.asarray(grad)).all()
+    assert (np.asarray(grad) != 0).any()
+
+
+def test_sample_and_predict(xw):
+    x, w = xw
+    # Output transform exercises the undo path.
+    reg = GPARRegressor(
+        replace=False,
+        impute=False,
+        linear=True,
+        linear_scale=1.0,
+        nonlinear=False,
+        noise=1e-8,
+        normalise_y=False,
+        transform_y=squishing_transform,
+    )
+
+    # Argument checks.
+    with pytest.raises(ValueError):
+        reg.sample(x, w)
+    with pytest.raises(RuntimeError):
+        reg.sample(x, w, posterior=True)
+
+    # Output simplification.
+    assert isinstance(reg.sample(x, w, p=2), np.ndarray)
+    out = reg.sample(x, w, p=2, num_samples=2)
+    assert isinstance(out, list) and len(out) == 2
+
+    # Randomness.
+    all_different(reg.sample(x, w, p=2), reg.sample(x, w, p=2))
+    all_different(
+        reg.sample(x, w, p=2, latent=True), reg.sample(x, w, p=2, latent=True)
+    )
+
+    # Mean of posterior samples is around the conditioning data.
+    y = reg.sample(x, w, p=2, key=jax.random.PRNGKey(12))
+    reg.condition(x, y, w)
+    approx(
+        y,
+        np.mean(reg.sample(x, w, posterior=True, num_samples=100), axis=0),
+        atol=5e-2,
+    )
+    approx(
+        y,
+        np.mean(
+            reg.sample(x, w, latent=True, posterior=True, num_samples=100), axis=0
+        ),
+        atol=5e-2,
+    )
+
+    # Prediction is around the data.
+    approx(y, reg.predict(x, w, num_samples=100), atol=5e-2)
+    approx(y, reg.predict(x, w, latent=True, num_samples=100), atol=5e-2)
+
+    # Prediction is confident.
+    _, lowers, uppers = reg.predict(x, w, num_samples=100, credible_bounds=True)
+    approx(uppers, lowers, atol=5e-2)
+
+
+def test_condition_and_fit(xw):
+    x, w = xw
+    reg = GPARRegressor(
+        replace=False, impute=False, normalise_y=True, transform_y=squishing_transform
+    )
+    y = reg.sample(x, w, p=2, key=jax.random.PRNGKey(13))
+
+    # Data is correctly normalised.
+    reg.condition(x, y, w)
+    approx(np.mean(np.asarray(reg.y), axis=0), np.zeros(reg.p), atol=1e-10)
+    approx(np.std(np.asarray(reg.y), axis=0, ddof=1), np.ones(reg.p), atol=1e-10)
+
+    # Zero-variance outputs are handled.
+    y_pathological = y.copy()
+    y_pathological[:, 0] = 1
+    reg.condition(x, y_pathological, w)
+    assert not np.isnan(np.asarray(reg.y)).any()
+
+    # Transforms and normalisers round-trip.
+    z = np.linspace(-1, 1, 10)
+    z = jnp.stack([jnp.asarray(z), 2 * jnp.asarray(z)], axis=1)
+    approx(reg._untransform_y(reg._transform_y(z)), z, atol=1e-10)
+    approx(reg._unnormalise_y(reg._normalise_y(z)), z, atol=1e-10)
+
+    # Fitting runs without issues for both paths.
+    vs = reg.vs.copy(detach=True)
+    reg.fit(x, y, w, fix=False, iters=3)
+    reg.vs = vs
+    reg.fit(x, y, w, fix=True, iters=3)
+
+    # Greedy raises (parity with the reference, gpar/regression.py:410).
+    with pytest.raises(NotImplementedError):
+        reg.fit(x, y, w, greedy=True)
+
+
+def test_features():
+    # Optimisation runs for a full-featured GPAR (every kernel option + RQ).
+    reg = GPARRegressor(
+        replace=True,
+        scale=1.0,
+        per=True,
+        per_period=1.0,
+        per_decay=10.0,
+        input_linear=True,
+        input_linear_scale=0.1,
+        linear=True,
+        linear_scale=1.0,
+        nonlinear=True,
+        nonlinear_scale=1.0,
+        rq=True,
+        noise=0.1,
+    )
+    x = np.stack([np.linspace(0, 10, 20), np.linspace(10, 20, 20)], axis=1)
+    y = reg.sample(x, p=2, key=jax.random.PRNGKey(14))
+    reg.fit(x, y, iters=10)
+
+
+def test_scale_tying():
+    x = rng.normal(size=(10, 2))
+    w = rng.uniform(size=(10, 2)) + 1
+    reg = GPARRegressor(scale_tie=True)
+    reg.sample(x, w, p=2, key=jax.random.PRNGKey(15))  # Instantiate variables.
+    vs = reg.get_variables()
+    assert "0/input/scales" in vs
+    assert "1/input/scales" not in vs
+
+
+def test_inducing_points_uprank():
+    reg = GPARRegressor(x_ind=np.linspace(0, 10, 20))
+    assert reg.x_ind is not None
+    assert reg.x_ind.ndim == 2
+
+
+def test_markov_zero_is_independent_gps(xw):
+    x, w = xw
+    # markov=0 removes all output dependencies, so the GPAR logpdf is the
+    # sum of independent single-GP logpdfs (the IGP baseline of the paper's
+    # synthetic example, reference examples/paper/synthetic.py:42-51).
+    reg = GPARRegressor(markov=0, linear=True, nonlinear=True, noise=1e-2,
+                        impute=False, normalise_y=False)
+    y = reg.sample(x, w, p=2, key=jax.random.PRNGKey(16))
+
+    gpar = _construct_gpar(reg, reg.vs, _uprank(jnp.asarray(x)).shape[1], 2)
+    f1, noise1 = gpar.layers[0]()
+    f2, noise2 = gpar.layers[1]()
+    x1 = _uprank(jnp.asarray(x))
+    wj = jnp.ones((10, 2)) if w is None else jnp.asarray(w)
+    lp1 = f1(x1, noise1 / wj[:, 0]).logpdf(y[:, 0])
+    # Layer 2 sees [x, y1] as inputs but markov=0 selects only x's columns.
+    x2 = jnp.concatenate([x1, jnp.asarray(y)[:, 0:1]], axis=1)
+    lp2 = f2(x2, noise2 / wj[:, 1]).logpdf(y[:, 1])
+    approx(reg.logpdf(x, y, w), float(lp1 + lp2), atol=1e-6)
