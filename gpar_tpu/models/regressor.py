@@ -19,6 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..config import default_dtype
 from ..params.optim import minimise_l_bfgs_b
 from ..params.store import Vars
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel
@@ -73,7 +74,7 @@ def _to_jnp(x):
     (the ``_to_torch`` analogue, ``gpar/regression.py:62-69``)."""
     if x is None or isinstance(x, jax.Array):
         return x
-    return jnp.asarray(np.asarray(x), dtype=jnp.float64)
+    return jnp.asarray(np.asarray(x), dtype=default_dtype())
 
 
 def _uprank(x):
@@ -214,7 +215,7 @@ def _init_weights(w, y):
     """Default weights are ones of ``y``'s shape
     (``gpar/regression.py:193-197``)."""
     if w is None:
-        return jnp.ones(y.shape, dtype=jnp.float64)
+        return jnp.ones(y.shape, dtype=y.dtype)
     else:
         return _uprank(_to_jnp(w))
 
@@ -292,7 +293,7 @@ class GPARRegressor:
         }
 
         # Model fitting.
-        self.vs = Vars(dtype=jnp.float64)
+        self.vs = Vars()  # default dtype: float64 (configurable, config.dtype)
         self.is_conditioned = False
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
@@ -336,8 +337,8 @@ class GPARRegressor:
                 std = np.std(y_i, ddof=1) if y_i.size > 1 else 0.0
                 stds.append(std if std > 0 else 1.0)
 
-            means = jnp.asarray(means, dtype=jnp.float64)[None, :]
-            stds = jnp.asarray(stds, dtype=jnp.float64)[None, :]
+            means = jnp.asarray(means, dtype=self.y.dtype)[None, :]
+            stds = jnp.asarray(stds, dtype=self.y.dtype)[None, :]
 
             def normalise_y(y_):
                 return (y_ - means) / stds
@@ -376,16 +377,32 @@ class GPARRegressor:
             k: list(per_output(self.y, self.w, keep=k)) for k in [True, False]
         }
 
+        # Instantiate every layer's variables once so traced views resolve
+        # them without creating state mid-trace.
+        for pi in range(self.p):
+            _construct_gpar(self, self.vs, self.m, pi + 1).layers[pi]()
+        all_names = self.vs.select(None)
+
         for pi in range(self.p):
             if fix:
-                gpar = _construct_gpar(self, self.vs, self.m, pi + 1)
-                fixed_x, fixed_x_ind = gpar.logpdf(
-                    self.x,
-                    y_cached,
-                    None,
-                    only_last_layer=True,
-                    outputs=list(range(pi)),
-                    return_inputs=True,
+                # Precompute the previous layers' augmented inputs — the
+                # resumable-inputs fast path (``gpar/regression.py:423-432``)
+                # — as ONE jitted program (hyperparameters traced, so the
+                # compiled executable is reusable across fit calls).
+                def _precompute(z, x, pi=pi):
+                    view = self.vs.with_latent_vector(all_names, z)
+                    gpar = _construct_gpar(self, view, self.m, pi + 1)
+                    return gpar.logpdf(
+                        x,
+                        y_cached,
+                        None,
+                        only_last_layer=True,
+                        outputs=list(range(pi)),
+                        return_inputs=True,
+                    )
+
+                fixed_x, fixed_x_ind = jax.jit(_precompute)(
+                    self.vs.latent_vector(all_names), self.x
                 )
 
             def objective(vs):
@@ -471,26 +488,71 @@ class GPARRegressor:
 
         if w is None:
             w = jnp.ones(
-                (x.shape[0], self.p if posterior else p), dtype=jnp.float64
+                (x.shape[0], self.p if posterior else p), dtype=x.dtype
             )
         else:
             w = _uprank(_to_jnp(w))
-
-        if posterior:
-            gpar = _construct_gpar(self, self.vs, self.m, self.p)
-            gpar = gpar | (self.x, self.y, self.w)
-        else:
-            gpar = _construct_gpar(self, self.vs, x.shape[1], p)
 
         def undo_transforms(y_):
             return self._untransform_y(self._unnormalise_y(y_))
 
         if key is None:
             key = next_key()
+        keys = jax.random.split(key, num_samples)
 
-        # One jitted vmap over all samples (vs. the reference's Python loop,
-        # ``gpar/regression.py:558-563``).
-        batch = gpar.sample_batch(x, w, num_samples, latent=latent, key=key)
+        # Conditioning + the whole vmapped ancestral sampling chain run as
+        # ONE jitted program: per-op dispatch never touches the host, all
+        # Gram/Cholesky/solve work fuses into a single XLA computation, and
+        # hyperparameters enter as traced arguments so the executable is
+        # reusable across fit/predict cycles.  (The reference loops per
+        # sample in Python, ``gpar/regression.py:558-563``.)
+        from .gpar import _sample_chain
+
+        if posterior:
+            # Static mask plan for the closed-downwards conditioning, built
+            # host-side from the (concrete) conditioning data.
+            y_cache = {
+                k: list(per_output(self.y, self.w, keep=k)) for k in [True, False]
+            }
+            x_data, m_in, p_out = self.x, self.m, self.p
+        else:
+            x_data, m_in, p_out = None, x.shape[1], p
+
+        names = self.vs.select(None)
+
+        def program(z, x_data, x_test, w_test, keys):
+            view = self.vs.with_latent_vector(names, z)
+            gpar = _construct_gpar(self, view, m_in, p_out)
+            if posterior:
+                gpar = gpar | (x_data, y_cache, None)
+            models = [mo() for mo in gpar.layers]
+            fs = tuple(f for f, _ in models)
+            noises = tuple(n for _, n in models)
+            x_ind = gpar.x_ind
+
+            def one(k):
+                return _sample_chain(
+                    fs,
+                    noises,
+                    x_test,
+                    w_test,
+                    x_ind,
+                    k,
+                    latent=latent,
+                    replace=self.replace,
+                    sparse=self.sparse,
+                )
+
+            return jax.vmap(one)(keys)
+
+        # Instantiate variables eagerly before tracing.
+        gpar_warm = _construct_gpar(self, self.vs, m_in, p_out)
+        for layer in gpar_warm.layers:
+            layer()
+        names = self.vs.select(None)
+        z = self.vs.latent_vector(names)
+
+        batch = jax.jit(program)(z, x_data, x, w, keys)
         batch = np.asarray(undo_transforms(batch))
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
