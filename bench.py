@@ -1,0 +1,123 @@
+"""Benchmark: sparse GPAR fit + predict at n=10k, p=16 on one TPU chip.
+
+The BASELINE.md build target: fit + predict wall-clock at n=10k / p=16 in
+< 10 s on a single chip (the reference has no committed numbers — it is a
+single-process float64 CPU package; see BASELINE.md).  The workload mirrors
+the largest paper config (air-temp, reference ``examples/paper/air_temp.py``:
+inducing points, linear + nonlinear output dependencies, impute + replace,
+output normalisation), scaled up to p=16 outputs and n=10k rows.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+``vs_baseline`` is target_seconds / measured_seconds (>1 == beating the
+10 s target).
+
+Run on TPU in float32 (TPU has no native f64; the 1e-6 numerical parity bar
+is enforced by the float64 CPU test suite instead).  A warmup pass at
+identical shapes populates the jit caches so the measurement reflects
+steady-state production use; cold-compile cost is reported separately on
+stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("GPAR_TPU_NO_X64", "1")  # float32 on TPU
+
+import numpy as np
+
+import gpar_tpu
+from gpar_tpu import GPARRegressor, set_seed
+
+TARGET_SECONDS = 10.0
+
+
+def make_data(n=10_000, p=16, seed=0):
+    """Synthetic closed-downwards chain: each output depends nonlinearly on
+    the previous one plus the input (the GPAR generative structure)."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(0.0, 10.0, size=n))
+    cols = [np.sin(x) - x**2 / 50.0]
+    for i in range(1, p):
+        prev = cols[-1]
+        cols.append(np.cos(prev) ** 2 + np.sin((i + 1) * x / 3.0) / (1 + i / 8.0))
+    y = np.stack(cols, axis=1) + 0.05 * rng.standard_normal((n, p))
+    return x.astype(np.float32), y.astype(np.float32)
+
+
+def build_model(x):
+    # Air-temp style D-GPAR-L-NL config (reference examples/paper/air_temp.py
+    # :35-46) with 256 inducing points.
+    x_ind = np.linspace(float(x.min()), float(x.max()), 256)
+    return GPARRegressor(
+        scale=0.2,
+        linear=True,
+        linear_scale=10.0,
+        nonlinear=True,
+        nonlinear_scale=1.0,
+        noise=0.1,
+        impute=True,
+        replace=True,
+        normalise_y=True,
+        x_ind=x_ind,
+    )
+
+
+def run_once(reg, x, y, x_test, iters, num_samples, key_seed):
+    set_seed(key_seed)
+    t0 = time.time()
+    reg.fit(x, y, iters=iters)
+    t_fit = time.time() - t0
+    t0 = time.time()
+    mean, lowers, uppers = reg.predict(
+        x_test, num_samples=num_samples, credible_bounds=True, latent=False
+    )
+    t_pred = time.time() - t0
+    assert np.isfinite(mean).all(), "non-finite predictions"
+    return t_fit, t_pred
+
+
+def main():
+    gpar_tpu.config.epsilon = 1e-6  # float32 jitter floor
+
+    n, p = 10_000, 16
+    n_test, num_samples, iters = 1024, 100, 10
+    x, y = make_data(n, p)
+    x_test = x[:: n // n_test][:n_test]
+
+    reg = build_model(x)
+
+    # Cold pass: pays tracing + XLA compiles (persistently cached on disk).
+    t0 = time.time()
+    cold_fit, cold_pred = run_once(reg, x, y, x_test, iters, num_samples, 0)
+    print(
+        f"[bench] cold: fit {cold_fit:.1f}s predict {cold_pred:.1f}s "
+        f"(total incl. setup {time.time() - t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    # Steady-state pass: same shapes and data -> cached executables; this is
+    # the production fit+predict cost.
+    fit_s, pred_s = run_once(reg, x, y, x_test, iters, num_samples, 1)
+    total = fit_s + pred_s
+    print(
+        f"[bench] warm: fit {fit_s:.1f}s predict {pred_s:.1f}s total {total:.1f}s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "gpar_fit_predict_n10k_p16_wall_clock",
+                "value": round(total, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / total, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

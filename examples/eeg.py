@@ -1,0 +1,51 @@
+"""EEG experiment (port of the reference ``examples/paper/eeg.py``):
+7 outputs with structured missingness; impute path; per-output SMSE.
+
+Run: ``python examples/eeg.py [--quick] [--data-dir DIR]``
+"""
+
+import sys
+
+import numpy as np
+
+from gpar_tpu import GPARRegressor
+from gpar_tpu.utils import experiment as out
+from gpar_tpu.utils.data import load_eeg
+from gpar_tpu.utils.experiment import WorkingDirectory
+from gpar_tpu.utils.metrics import smse
+
+if __name__ == "__main__":
+    out.report_time = True
+    quick = "--quick" in sys.argv
+    data_dir = None
+    if "--data-dir" in sys.argv:
+        data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
+    wd = WorkingDirectory("_experiments", "eeg")
+
+    x, y_train, y_test, columns = load_eeg(data_dir)
+
+    iters = 20 if quick else 200
+    num_samples = 50 if quick else 200
+
+    # Reference config (examples/paper/eeg.py:23-32).
+    model = GPARRegressor(
+        scale=0.02,
+        linear=False,
+        nonlinear=True,
+        nonlinear_scale=1.0,
+        noise=0.01,
+        impute=True,
+        replace=False,
+        normalise_y=True,
+    )
+    model.fit(x, y_train, iters=iters)
+    means, lowers, uppers = model.predict(
+        x, num_samples=num_samples, credible_bounds=True, latent=True
+    )
+
+    scores = smse(means, y_test)
+    for name, s in zip(columns, scores):
+        if np.isfinite(s):
+            out.kv(f"SMSE {name}", s)
+    out.kv("Average SMSE", np.nanmean(scores))
+    wd.save({"x": x, "means": means, "lowers": lowers, "uppers": uppers}, "eeg.pickle")

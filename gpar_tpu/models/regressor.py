@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import default_dtype
-from ..params.optim import minimise_l_bfgs_b
+from ..params.optim import lbfgs_traced, minimise_l_bfgs_b
 from ..params.store import Vars
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel
 from ..gp.core import GP
@@ -211,6 +211,27 @@ def _construct_gpar(reg, vs, m, p):
     return gpar
 
 
+def _fingerprint(*arrays):
+    """Cheap content hash of arrays, used to key compiled-program caches.
+
+    Conditioning data is baked into fused programs as constants (its NaN
+    pattern drives static mask planning), so compiled executables may only
+    be reused when the data is bit-identical.
+    """
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in arrays:
+        if a is None:
+            h.update(b"none")
+            continue
+        a = np.asarray(a)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def _init_weights(w, y):
     """Default weights are ones of ``y``'s shape
     (``gpar/regression.py:193-197``)."""
@@ -294,6 +315,10 @@ class GPARRegressor:
 
         # Model fitting.
         self.vs = Vars()  # default dtype: float64 (configurable, config.dtype)
+        # In-process cache of jitted programs (hyperparameters are traced
+        # arguments; conditioning data are constants — keys carry a data
+        # fingerprint).  Avoids re-tracing on repeated fit/predict calls.
+        self._jit_cache = {}
         self.is_conditioned = False
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
@@ -383,6 +408,23 @@ class GPARRegressor:
             _construct_gpar(self, self.vs, self.m, pi + 1).layers[pi]()
         all_names = self.vs.select(None)
 
+        # The fix=True fit runs FUSED by default: every layer's L-BFGS loop
+        # plus the incremental input-augmentation between layers is a single
+        # jitted XLA program — zero host round-trips per iteration, one
+        # compile (persistently cached) per data shape.  ``trace=True`` or
+        # ``fused=False`` falls back to the per-layer driver.
+        trace = kw_args.get("trace", False)
+        fused = kw_args.pop("fused", True)
+        if fix and fused and not trace:
+            self._fit_fixed_fused(
+                y_cached,
+                all_names,
+                iters=kw_args.pop("iters", 1000),
+                gtol=kw_args.pop("gtol", 1e-9),
+                memory_size=kw_args.pop("memory_size", 10),
+            )
+            return
+
         for pi in range(self.p):
             if fix:
                 # Precompute the previous layers' augmented inputs — the
@@ -425,6 +467,94 @@ class GPARRegressor:
                 names = [f"{i}/*" for i in range(pi + 1)]
 
             minimise_l_bfgs_b(objective, self.vs, names=names, **kw_args)
+
+    def _fit_fixed_fused(self, y_cached, all_names, iters, gtol, memory_size):
+        """The whole fix=True fit as one jitted program.
+
+        Per layer pi: L-BFGS (``lbfgs_traced``, a lax.while_loop) on
+        -logpdf of layer pi given the incrementally-threaded augmented
+        inputs; then one input-augmentation step (the resumable-inputs
+        contract, ``gpar/model.py:199-243``) feeds layer pi+1.  Because
+        fix=True freezes earlier layers, threading inputs forward is exactly
+        equivalent to the reference's full-chain recomputation per layer
+        (``gpar/regression.py:423-432``).
+        """
+        p, m = self.p, self.m
+
+        # Flat-vector index spans per layer (the names=[f"{pi}/*"] filter of
+        # ``gpar/regression.py:452-456``, as static gather indices).
+        offsets = {}
+        off = 0
+        for name in all_names:
+            size = int(np.prod(self.vs._latents[name].shape))
+            offsets[name] = (off, size)
+            off += size
+        layer_idx = []
+        for pi in range(p):
+            names_pi = self.vs.select([f"{pi}/*"])
+            idx = np.concatenate(
+                [np.arange(offsets[n][0], offsets[n][0] + offsets[n][1]) for n in names_pi]
+            ).astype(np.int64)
+            layer_idx.append(jnp.asarray(idx))
+
+        def program(z_all, x):
+            fixed_x, fixed_x_ind = x, self.x_ind
+            for pi in range(p):
+                idx = layer_idx[pi]
+
+                def obj(z_pi, z_all=z_all, fixed_x=fixed_x, fixed_x_ind=fixed_x_ind, pi=pi, idx=idx):
+                    z_full = z_all.at[idx].set(z_pi)
+                    view = self.vs.with_latent_vector(all_names, z_full)
+                    gpar = _construct_gpar(self, view, m, pi + 1)
+                    return -gpar.logpdf(
+                        fixed_x,
+                        y_cached,
+                        None,
+                        only_last_layer=True,
+                        outputs=[pi],
+                        x_ind=fixed_x_ind,
+                    )
+
+                z_pi_opt, _ = lbfgs_traced(
+                    obj, z_all[idx], iters=iters, gtol=gtol, memory_size=memory_size
+                )
+                z_all = z_all.at[idx].set(z_pi_opt)
+
+                if pi < p - 1:
+                    # One incremental augmentation step: a (pi+2)-layer GPAR
+                    # with outputs=[pi] filters by layer pi's mask, builds
+                    # its observations, and appends the (imputed/replaced)
+                    # output column — without re-running layers < pi (their
+                    # filtering/augmentation is already baked into fixed_x).
+                    view = self.vs.with_latent_vector(all_names, z_all)
+                    gpar = _construct_gpar(self, view, m, pi + 2)
+                    fixed_x, fixed_x_ind = gpar.logpdf(
+                        fixed_x,
+                        y_cached,
+                        None,
+                        only_last_layer=True,
+                        outputs=[pi],
+                        x_ind=fixed_x_ind,
+                        return_inputs=True,
+                    )
+            return z_all
+
+        cache_key = (
+            "fit_fused",
+            self.n,
+            self.m,
+            p,
+            iters,
+            gtol,
+            memory_size,
+            _fingerprint(self.y, self.w, self.x_ind),
+        )
+        fit_fn = self._jit_cache.get(cache_key)
+        if fit_fn is None:
+            fit_fn = jax.jit(program)
+            self._jit_cache[cache_key] = fit_fn
+        z_final = fit_fn(self.vs.latent_vector(all_names), self.x)
+        self.vs.set_latent_vector(all_names, z_final)
 
     def logpdf(self, x, y, w=None, sample_missing=False, posterior=False, key=None):
         """Logpdf of observations (``gpar/regression.py:461-506``).
@@ -552,7 +682,20 @@ class GPARRegressor:
         names = self.vs.select(None)
         z = self.vs.latent_vector(names)
 
-        batch = jax.jit(program)(z, x_data, x, w, keys)
+        cache_key = (
+            "sample",
+            x.shape,
+            num_samples,
+            latent,
+            posterior,
+            p_out,
+            _fingerprint(self.y, self.w, self.x_ind) if posterior else None,
+        )
+        sample_fn = self._jit_cache.get(cache_key)
+        if sample_fn is None:
+            sample_fn = jax.jit(program)
+            self._jit_cache[cache_key] = sample_fn
+        batch = sample_fn(z, x_data, x, w, keys)
         batch = np.asarray(undo_transforms(batch))
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples

@@ -6,9 +6,11 @@ store's transforms (see ``params/store.py``), so plain L-BFGS with a zoom
 linesearch (``optax.lbfgs``) matches the reference's observable behaviour.
 
 TPU-native design: the *entire* optimisation loop — objective, gradient,
-two-loop recursion, zoom linesearch, convergence test — is one jitted
-``lax.while_loop``, so an L-BFGS fit of a GP layer is a single XLA
-computation with no host round-trips per iteration.
+two-loop recursion, zoom linesearch, convergence test — is one
+``lax.while_loop``.  :func:`lbfgs_traced` is the traced building block and
+can be embedded inside larger jitted programs (the fused GPAR fit runs all
+per-layer optimisations in a single XLA computation);
+:func:`minimise_l_bfgs_b` is the standalone driver with the varz-style API.
 """
 
 import jax
@@ -16,7 +18,28 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-__all__ = ["minimise_l_bfgs_b"]
+__all__ = ["minimise_l_bfgs_b", "lbfgs_traced"]
+
+
+def lbfgs_traced(fun, z0, iters=1000, gtol=1e-9, memory_size=10):
+    """Run L-BFGS as a pure traced computation (embeddable inside larger
+    jitted programs — the fused GPAR fit instantiates one per layer).
+
+    Uses the compact from-scratch implementation in ``params/lbfgs.py``
+    (two-loop recursion + Armijo backtracking): its loop body costs two
+    objective evaluations of HLO, an order of magnitude less graph than a
+    zoom-linesearch stack, which keeps whole-fit compile times sane.
+
+    Returns:
+        (z_opt, value): final iterate (guarded against non-finite results —
+        falls back to ``z0``) and final objective value.
+    """
+    from .lbfgs import lbfgs_minimize
+
+    z, value, _ = lbfgs_minimize(
+        fun, z0, iters=iters, gtol=gtol, memory=memory_size
+    )
+    return z, value
 
 
 def minimise_l_bfgs_b(
@@ -47,66 +70,54 @@ def minimise_l_bfgs_b(
         float: Final objective value.
     """
     sel = vs.select(names)
-    # Make sure every selected variable exists (they are created lazily on
-    # first access); evaluate once eagerly to instantiate and get f0.
-    f0 = objective(vs)
-    sel = vs.select(names)
     if not sel:
-        return float(f0)
+        # Variables are created lazily on first access: evaluate once
+        # (eagerly) to instantiate, then reselect.
+        f0 = objective(vs)
+        sel = vs.select(names)
+        if not sel:
+            return float(f0)
 
     z0 = vs.latent_vector(sel)
 
     def fun(z):
         return jnp.asarray(objective(vs.with_latent_vector(sel, z)))
 
-    opt = optax.lbfgs(memory_size=memory_size)
-    value_and_grad = optax.value_and_grad_from_state(fun)
-
-    def step(carry):
-        z, state = carry
-        value, grad = value_and_grad(z, state=state)
-        updates, state = opt.update(
-            grad, state, z, value=value, grad=grad, value_fn=fun
-        )
-        z = optax.apply_updates(z, updates)
-        return z, state
-
-    def not_converged(carry):
-        _, state = carry
-        count = optax.tree_utils.tree_get(state, "count")
-        grad = optax.tree_utils.tree_get(state, "grad")
-        value = optax.tree_utils.tree_get(state, "value")
-        gnorm = jnp.max(jnp.abs(grad))
-        # The freshly-initialised state carries value=inf/grad=0; always take
-        # the first step.
-        return (count < iters) & (
-            (count == 0) | ((gnorm > gtol) & jnp.isfinite(value))
-        )
-
-    state0 = opt.init(z0)
-
     if trace:
-        z, state = z0, state0
-        it = 0
-        while bool(not_converged((z, state))) and it < iters:
-            z, state = (jax.jit(step) if jit else step)((z, state))
-            it += 1
-            val = optax.tree_utils.tree_get(state, "value")
-            print(f"  lbfgs iter {it}: objective {float(val):.6f}")
-    else:
+        opt = optax.lbfgs(memory_size=memory_size)
+        value_and_grad = optax.value_and_grad_from_state(fun)
 
-        def run(z0, state0):
-            return lax.while_loop(not_converged, step, (z0, state0))
+        def step(carry):
+            z, state = carry
+            value, grad = value_and_grad(z, state=state)
+            updates, state = opt.update(
+                grad, state, z, value=value, grad=grad, value_fn=fun
+            )
+            z = optax.apply_updates(z, updates)
+            return z, state
 
-        if jit:
-            run = jax.jit(run)
-        z, state = run(z0, state0)
+        z, state = z0, opt.init(z0)
+        step_fn = jax.jit(step) if jit else step
+        for it in range(iters):
+            z, state = step_fn((z, state))
+            value = optax.tree_utils.tree_get(state, "value")
+            grad = optax.tree_utils.tree_get(state, "grad")
+            print(f"  lbfgs iter {it + 1}: objective {float(value):.6f}")
+            if not (jnp.max(jnp.abs(grad)) > gtol) or not jnp.isfinite(value):
+                break
+        value = optax.tree_utils.tree_get(state, "value")
+        ok = jnp.isfinite(value) & jnp.all(jnp.isfinite(z))
+        z = jnp.where(ok, z, z0)
+        vs.set_latent_vector(sel, z)
+        return float(value if ok else fun(z0))
 
-    final_value = optax.tree_utils.tree_get(state, "value")
-    # Guard against the pathological case where the first step already
-    # produced a non-finite value: keep the initial latents then.
-    ok = jnp.isfinite(final_value) & jnp.all(jnp.isfinite(z))
-    z = jnp.where(ok, z, z0)
+    def run(z0):
+        return lbfgs_traced(
+            fun, z0, iters=iters, gtol=gtol, memory_size=memory_size
+        )
+
+    if jit:
+        run = jax.jit(run)
+    z, value = run(z0)
     vs.set_latent_vector(sel, z)
-    final = jnp.where(ok, final_value, f0)
-    return float(final)
+    return float(value)
