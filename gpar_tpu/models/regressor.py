@@ -373,6 +373,12 @@ class GPARRegressor:
 
             self._normalise_y = normalise_y
             self._unnormalise_y = unnormalise_y
+            # Plain-array statistics, for checkpointing
+            # (utils/checkpoint.py).
+            self._norm_stats = {
+                "means": np.asarray(means),
+                "stds": np.asarray(stds),
+            }
 
             self.y = normalise_y(self.y)
 
