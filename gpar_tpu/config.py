@@ -22,6 +22,17 @@ import jax
 if not os.environ.get("GPAR_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# The TPU MXU defaults to single-pass bfloat16 contractions for float32
+# operands (~1e-2 absolute error in Gram entries) — unusable for GP
+# numerics where Cholesky jitter is 1e-6 and the parity bar is 1e-6.
+# Force full-precision matmuls everywhere (posterior cross-covariances,
+# Titsias A A^T, predictive sampling); hot kernels that can tolerate
+# lower precision opt in locally.  Override with GPAR_TPU_MATMUL_PRECISION.
+jax.config.update(
+    "jax_default_matmul_precision",
+    os.environ.get("GPAR_TPU_MATMUL_PRECISION", "highest"),
+)
+
 # Persistent XLA compilation cache: GP fits compile one executable per layer
 # shape; caching them on disk makes repeated runs (tests, benchmarks, the
 # examples) start hot.
@@ -52,6 +63,13 @@ class _Config:
         #: Default dtype for model parameters and data
         #: (reference: ``torch.float64``, ``gpar/regression.py:314``).
         self.dtype = "float64" if not os.environ.get("GPAR_TPU_NO_X64") else "float32"
+        #: Fused Pallas Gram construction: "auto" enables it when the
+        #: default execution target is a TPU and inputs are float32;
+        #: True/False force it on/off.
+        self.use_pallas_gram = "auto"
+        #: Minimum n*m size for the fused Gram to engage (small problems
+        #: are dominated by launch overhead).
+        self.pallas_gram_min_size = 262144
 
 
 config = _Config()

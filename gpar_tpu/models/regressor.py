@@ -421,6 +421,23 @@ class GPARRegressor:
         # ``fused=False`` falls back to the per-layer driver.
         trace = kw_args.get("trace", False)
         fused = kw_args.pop("fused", True)
+        profile_dir = kw_args.pop("profile_dir", None)
+        if profile_dir is not None:
+            # Capture an XLA/TPU profile of the whole fit
+            # (``jax.profiler``; view with TensorBoard or xprof).
+            import contextlib
+
+            ctx = jax.profiler.trace(profile_dir)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return self._fit_inner(
+                y_cached, all_names, fix, fused, trace, **kw_args
+            )
+
+    def _fit_inner(self, y_cached, all_names, fix, fused, trace, **kw_args):
         if fix and fused and not trace:
             self._fit_fixed_fused(
                 y_cached,
@@ -505,6 +522,7 @@ class GPARRegressor:
 
         def program(z_all, x):
             fixed_x, fixed_x_ind = x, self.x_ind
+            layer_nll, layer_iters = [], []
             for pi in range(p):
                 idx = layer_idx[pi]
 
@@ -521,9 +539,11 @@ class GPARRegressor:
                         x_ind=fixed_x_ind,
                     )
 
-                z_pi_opt, _ = lbfgs_traced(
+                z_pi_opt, nll_pi, it_pi = lbfgs_traced(
                     obj, z_all[idx], iters=iters, gtol=gtol, memory_size=memory_size
                 )
+                layer_nll.append(nll_pi)
+                layer_iters.append(it_pi)
                 z_all = z_all.at[idx].set(z_pi_opt)
 
                 if pi < p - 1:
@@ -543,7 +563,7 @@ class GPARRegressor:
                         x_ind=fixed_x_ind,
                         return_inputs=True,
                     )
-            return z_all
+            return z_all, jnp.stack(layer_nll), jnp.stack(layer_iters)
 
         cache_key = (
             "fit_fused",
@@ -559,8 +579,22 @@ class GPARRegressor:
         if fit_fn is None:
             fit_fn = jax.jit(program)
             self._jit_cache[cache_key] = fit_fn
-        z_final = fit_fn(self.vs.latent_vector(all_names), self.x)
+        import time as _time
+
+        t0 = _time.time()
+        z_final, layer_nll, layer_iters = fit_fn(
+            self.vs.latent_vector(all_names), self.x
+        )
+        jax.block_until_ready(z_final)
         self.vs.set_latent_vector(all_names, z_final)
+        # Structured fit observability (SURVEY.md §5: the reference logs
+        # nothing beyond a progress bar).
+        self.last_fit_report = {
+            "layer_nll": np.asarray(layer_nll),
+            "layer_iters": np.asarray(layer_iters),
+            "wall_clock_s": _time.time() - t0,
+            "fused": True,
+        }
 
     def logpdf(self, x, y, w=None, sample_missing=False, posterior=False, key=None):
         """Logpdf of observations (``gpar/regression.py:461-506``).

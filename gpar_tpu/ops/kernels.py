@@ -22,8 +22,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import config
+
 __all__ = [
     "Kernel",
+    "gram_eval",
     "EQ",
     "RQ",
     "Linear",
@@ -223,7 +226,10 @@ def sq_dists(x, y):
     """
     x2 = jnp.sum(x * x, axis=-1)[:, None]
     y2 = jnp.sum(y * y, axis=-1)[None, :]
-    xy = x @ y.T
+    # Full-precision contraction: the TPU MXU defaults to bfloat16 passes
+    # for float32 operands, which costs ~1e-2 absolute error in Gram
+    # entries — fatal downstream where Cholesky jitter is 1e-6.
+    xy = jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 
@@ -237,26 +243,70 @@ def _embed_periodic(x, period):
 
 
 def gram(k, x, y):
-    """Evaluate the full pairwise kernel matrix ``k(x, y)`` of shape (n, m)."""
+    """Evaluate the full pairwise kernel matrix ``k(x, y)`` of shape (n, m).
+
+    Dispatches to the fused Pallas kernel (``ops/pallas_gram.py``) when
+    running on TPU with float32 inputs and a supported kernel tree — one
+    tiled output pass instead of one n x m intermediate per term — and
+    falls back to the reference jnp recursion (:func:`gram_eval`)
+    otherwise.
+    """
+    fast = _maybe_fused(k, x, y)
+    if fast is not None:
+        return fast
+    return gram_eval(k, x, y)
+
+
+def _pallas_gram_active():
+    """The auto gate: fused Gram only when the default execution target is
+    a real TPU (tests pin jax_default_device to CPU, which disables it)."""
+    import jax
+
+    mode = getattr(config, "use_pallas_gram", "auto")
+    if mode is False:
+        return False
+    if mode is True:
+        return True
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
+def _maybe_fused(k, x, y):
+    if x.ndim != 2 or y.ndim != 2 or x.dtype != jnp.float32:
+        return None
+    if x.shape[0] * y.shape[0] < getattr(config, "pallas_gram_min_size", 262144):
+        return None
+    if not _pallas_gram_active():
+        return None
+    from .pallas_gram import gram_fused_or_none
+
+    return gram_fused_or_none(k, x, y)
+
+
+def gram_eval(k, x, y):
+    """Reference jnp evaluation of the kernel tree (recursion over the
+    combinators); also the gradient path of the fused kernel."""
     if isinstance(k, Sum):
-        return gram(k.k1, x, y) + gram(k.k2, x, y)
+        return gram_eval(k.k1, x, y) + gram_eval(k.k2, x, y)
     if isinstance(k, Product):
-        return gram(k.k1, x, y) * gram(k.k2, x, y)
+        return gram_eval(k.k1, x, y) * gram_eval(k.k2, x, y)
     if isinstance(k, Scaled):
-        return k.scale * gram(k.k, x, y)
+        return k.scale * gram_eval(k.k, x, y)
     if isinstance(k, Stretch):
-        return gram(k.k, x / k.scales, y / k.scales)
+        return gram_eval(k.k, x / k.scales, y / k.scales)
     if isinstance(k, Periodic):
-        return gram(k.k, _embed_periodic(x, k.period), _embed_periodic(y, k.period))
+        return gram_eval(k.k, _embed_periodic(x, k.period), _embed_periodic(y, k.period))
     if isinstance(k, Select):
         inds = np.asarray(k.inds, dtype=np.int64)
-        return gram(k.k, x[:, inds], y[:, inds])
+        return gram_eval(k.k, x[:, inds], y[:, inds])
     if isinstance(k, EQ):
         return jnp.exp(-0.5 * sq_dists(x, y))
     if isinstance(k, RQ):
         return (1.0 + sq_dists(x, y) / (2.0 * k.alpha)) ** (-k.alpha)
     if isinstance(k, Linear):
-        return x @ y.T
+        return jnp.matmul(x, y.T, precision=jax.lax.Precision.HIGHEST)
     if isinstance(k, Const):
         dt = jnp.result_type(x.dtype, jnp.asarray(k.value).dtype)
         return jnp.broadcast_to(

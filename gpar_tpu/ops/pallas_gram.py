@@ -176,6 +176,9 @@ def _gram_kernel_body(kinds, xf_ref, yf_ref, xn_ref, yn_ref, par_ref, out_ref):
             b,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # MXU defaults to one bfloat16 pass for f32 operands; full
+            # precision keeps the fused path on par with the jnp path.
+            precision=jax.lax.Precision.HIGHEST,
         )
         if kind == "lin":
             term = dot
@@ -270,7 +273,7 @@ def _gram_fused_fwd_impl(kernel, x, y, tm=256, tn=256):
 def _gram_fused(kernel, x, y):
     out = _gram_fused_fwd_impl(kernel, x, y)
     if out is None:  # pragma: no cover — callers check `supported` first
-        return K.gram(kernel, x, y)
+        return K.gram_eval(kernel, x, y)
     return out
 
 
@@ -281,11 +284,20 @@ def _fwd(kernel, x, y):
 def _bwd(res, g):
     kernel, x, y = res
     # Reference VJP: bit-identical gradients through the jnp evaluation.
-    _, vjp = jax.vjp(lambda k, a, b: K.gram(k, a, b), kernel, x, y)
+    _, vjp = jax.vjp(lambda k, a, b: K.gram_eval(k, a, b), kernel, x, y)
     return vjp(g)
 
 
 _gram_fused.defvjp(_fwd, _bwd)
+
+
+def gram_fused_or_none(kernel, x, y):
+    """Fused Gram or None when the kernel tree is unsupported (the
+    dispatch hook in :func:`ops.kernels.gram` falls back then).  Feature
+    widths beyond the 128-lane span fall back inside the primal."""
+    if analyze_kernel(kernel) is None:
+        return None
+    return _gram_fused(kernel, x, y)
 
 
 def gram_fused(kernel, x, y=None):
@@ -299,5 +311,5 @@ def gram_fused(kernel, x, y=None):
     if y.ndim == 1:
         y = y[:, None]
     if not supported(kernel):
-        return K.gram(kernel, x, y)
+        return K.gram_eval(kernel, x, y)
     return _gram_fused(kernel, x, y)

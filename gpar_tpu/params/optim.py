@@ -31,15 +31,13 @@ def lbfgs_traced(fun, z0, iters=1000, gtol=1e-9, memory_size=10):
     zoom-linesearch stack, which keeps whole-fit compile times sane.
 
     Returns:
-        (z_opt, value): final iterate (guarded against non-finite results —
-        falls back to ``z0``) and final objective value.
+        (z_opt, value, iters_used): final iterate (guarded against
+        non-finite results — falls back to ``z0``), final objective value,
+        and the number of iterations taken.
     """
     from .lbfgs import lbfgs_minimize
 
-    z, value, _ = lbfgs_minimize(
-        fun, z0, iters=iters, gtol=gtol, memory=memory_size
-    )
-    return z, value
+    return lbfgs_minimize(fun, z0, iters=iters, gtol=gtol, memory=memory_size)
 
 
 def minimise_l_bfgs_b(
@@ -118,6 +116,6 @@ def minimise_l_bfgs_b(
 
     if jit:
         run = jax.jit(run)
-    z, value = run(z0)
+    z, value, _ = run(z0)
     vs.set_latent_vector(sel, z)
     return float(value)
