@@ -65,8 +65,13 @@ class _Config:
         self.dtype = "float64" if not os.environ.get("GPAR_TPU_NO_X64") else "float32"
         #: Fused Pallas Gram construction: "auto" enables it when the
         #: default execution target is a TPU and inputs are float32;
-        #: True/False force it on/off.
-        self.use_pallas_gram = "auto"
+        #: True/False force it on/off.  Default False: measured on v5e,
+        #: XLA's own fusion of the jnp kernel recursion beats the Pallas
+        #: kernel (217 vs 141 GB/s of output write at n=16384; XLA fuses
+        #: the elementwise term combination into the matmul consumers, so
+        #: the fusion the Pallas kernel adds is not the bottleneck).
+        #: Kept as an opt-in for other TPU generations; see bench_kernels.py.
+        self.use_pallas_gram = False
         #: Minimum n*m size for the fused Gram to engage (small problems
         #: are dominated by launch overhead).
         self.pallas_gram_min_size = 262144

@@ -265,6 +265,16 @@ class GPARRegressor:
         normalise_y (bool): Normalise outputs.  Default `True`.
         transform_y (tuple): (transform, inverse) applied to the data before
             fitting.
+        compat (bool): Reproduce the reference bug-for-bug in
+            :meth:`logpdf`: the reference applies ``_unnormalise_y`` to the
+            incoming ``y`` (``gpar/regression.py:483``) where normalisation
+            is clearly intended (the quirk is latent there — every
+            reference test of ``logpdf`` sets ``normalise_y=False``).
+            Defaults to `True` (literal parity); set `False` for the fixed
+            semantics (normalise ``y`` like :meth:`condition` does).
+            Neither mode adds Jacobian terms for ``transform_y`` /
+            normalisation — matching the reference, the returned value is
+            the density of the transformed, normalised data.
     """
 
     def __init__(
@@ -289,6 +299,7 @@ class GPARRegressor:
         x_ind=None,
         normalise_y=True,
         transform_y=(lambda x: x, lambda x: x),
+        compat=True,
     ):
         # Model configuration.
         self.replace = replace
@@ -328,6 +339,7 @@ class GPARRegressor:
         self.p = None  # Number of outputs
 
         # Output normalisation and transformation.
+        self.compat = compat
         self.normalise_y = normalise_y
         self._unnormalise_y, self._normalise_y = lambda x: x, lambda x: x
         self._transform_y, self._untransform_y = transform_y
@@ -608,8 +620,11 @@ class GPARRegressor:
         x = _uprank(_to_jnp(x))
         # NOTE(reference parity): the reference applies `_unnormalise_y`
         # here (``gpar/regression.py:483``) — not `_normalise_y` — and adds
-        # no Jacobian terms for the transforms.  We reproduce it literally.
-        y = self._unnormalise_y(self._transform_y(_uprank(_to_jnp(y))))
+        # no Jacobian terms for the transforms.  ``compat=True`` (default)
+        # reproduces it literally; ``compat=False`` applies the intended
+        # normalisation.
+        renorm = self._unnormalise_y if self.compat else self._normalise_y
+        y = renorm(self._transform_y(_uprank(_to_jnp(y))))
         w = _init_weights(w, y)
         m, p = x.shape[1], y.shape[1]
 

@@ -164,8 +164,15 @@ def _pad_rows(a, mult):
     return jnp.pad(a, ((0, r), (0, 0)))
 
 
-def _gram_kernel_body(kinds, xf_ref, yf_ref, xn_ref, yn_ref, par_ref, out_ref):
-    """One (TM, TN) output tile; static python loop over terms."""
+def _gram_kernel_body(kinds, dims, xf_ref, yf_ref, xn_ref, yn_ref, par_ref, out_ref):
+    """One (TM, TN) output tile; static python loop over terms.
+
+    ``dims[t]`` is term t's true feature width (static; kept for cost
+    modelling).  A VPU per-dimension broadcast variant for narrow terms
+    was tried and measured ~2x slower than the MXU contraction (the
+    (TM,1)x(1,TN) outer broadcasts cost a relayout per dimension per
+    tile), so all terms use the MXU at full (6-pass) precision.
+    """
     T = len(kinds)
     acc = None
     for t, kind in enumerate(kinds):
@@ -196,8 +203,8 @@ def _gram_kernel_body(kinds, xf_ref, yf_ref, xn_ref, yn_ref, par_ref, out_ref):
     out_ref[:, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "tm", "tn"))
-def _gram_pallas_call(kinds, xf, yf, xn, yn, params, tm, tn):
+@functools.partial(jax.jit, static_argnames=("kinds", "dims", "tm", "tn"))
+def _gram_pallas_call(kinds, dims, xf, yf, xn, yn, params, tm, tn):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -206,7 +213,7 @@ def _gram_pallas_call(kinds, xf, yf, xn, yn, params, tm, tn):
     grid = (n_pad // tm, m_pad // tn)
 
     return pl.pallas_call(
-        functools.partial(_gram_kernel_body, kinds),
+        functools.partial(_gram_kernel_body, kinds, dims),
         out_shape=jax.ShapeDtypeStruct((n_pad, m_pad), jnp.float32),
         grid=grid,
         in_specs=[
@@ -223,10 +230,12 @@ def _gram_pallas_call(kinds, xf, yf, xn, yn, params, tm, tn):
 def _prepare(terms, const, x, y, tm, tn):
     """Feature maps -> padded feature/norm/param arrays."""
     kinds = tuple(t.kind for t in terms)
+    dims = []
     xf_list, yf_list, xn_list, yn_list, par_list = [], [], [], [], []
     for t in terms:
         u = t.feats(x).astype(jnp.float32)
         v = t.feats(y).astype(jnp.float32)
+        dims.append(u.shape[1])
         if t.kind == "lin":
             # Fold the scalar weight into one side.
             u = u * jnp.asarray(t.weight, jnp.float32)
@@ -253,7 +262,7 @@ def _prepare(terms, const, x, y, tm, tn):
     xn = _pad_rows(jnp.stack(xn_list, axis=1), tm)
     yn = _pad_rows(jnp.stack(yn_list, axis=1), tn)
     params = jnp.stack([jnp.stack(p) for p in par_list])
-    return kinds, xf, yf, xn, yn, params
+    return kinds, tuple(dims), xf, yf, xn, yn, params
 
 
 def _gram_fused_fwd_impl(kernel, x, y, tm=256, tn=256):
@@ -264,8 +273,8 @@ def _gram_fused_fwd_impl(kernel, x, y, tm=256, tn=256):
     prep = _prepare(terms, const, x, y, tm, tn)
     if prep is None:
         return None
-    kinds, xf, yf, xn, yn, params = prep
-    out = _gram_pallas_call(kinds, xf, yf, xn, yn, params, tm, tn)
+    kinds, dims, xf, yf, xn, yn, params = prep
+    out = _gram_pallas_call(kinds, dims, xf, yf, xn, yn, params, tm, tn)
     return out[: x.shape[0], : y.shape[0]].astype(x.dtype)
 
 

@@ -39,6 +39,7 @@ def state_dict(reg):
         "impute": reg.impute,
         "x_ind": None if reg.x_ind is None else np.asarray(reg.x_ind),
         "normalise_y": reg.normalise_y,
+        "compat": reg.compat,
         "vs": vs_state,
         "data": data_state,
         # Normaliser statistics (the closures are reconstructed on load).
@@ -86,6 +87,7 @@ def load_state_dict(state, transform_y=None):
         impute=state["impute"],
         x_ind=state["x_ind"],
         normalise_y=state["normalise_y"],
+        compat=state.get("compat", True),
         **kwargs,
     )
     if transform_y is not None:

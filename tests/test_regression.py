@@ -335,3 +335,43 @@ def test_markov_zero_is_independent_gps(xw):
     x2 = jnp.concatenate([x1, jnp.asarray(y)[:, 0:1]], axis=1)
     lp2 = f2(x2, noise2 / wj[:, 1]).logpdf(y[:, 1])
     approx(reg.logpdf(x, y, w), float(lp1 + lp2), atol=1e-6)
+
+
+def test_compat_logpdf_quirk():
+    # The reference applies `_unnormalise_y` to the incoming y in logpdf
+    # (gpar/regression.py:483) where normalisation is intended.  compat=True
+    # (default) reproduces it literally; compat=False applies the fix.
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 5, 12)
+    y = 3.0 + 2.0 * rng.standard_normal((12, 2))
+
+    reg_c = GPARRegressor(normalise_y=True, impute=False, compat=True)
+    reg_f = GPARRegressor(normalise_y=True, impute=False, compat=False)
+    reg_c.condition(x, y)
+    reg_f.condition(x, y)
+    # Same hyperparameters in both stores.
+    reg_f.vs._latents = dict(reg_c.vs._latents)
+    reg_f.vs._transforms = dict(reg_c.vs._transforms)
+
+    lp_compat = reg_c.logpdf(x, y)
+    lp_fixed = reg_f.logpdf(x, y)
+    # The two renormalisations genuinely differ on non-standardised data.
+    assert abs(lp_compat - lp_fixed) > 1e-3
+
+    # compat=False on the conditioning data evaluates the density of the
+    # *normalised* data — identical to normalise_y=False on pre-standardised
+    # data with the same hyperparameters.
+    y_std = (y - y.mean(axis=0)) / y.std(axis=0, ddof=1)
+    reg_n = GPARRegressor(normalise_y=False, impute=False)
+    reg_n.condition(x, y_std)
+    reg_n.vs._latents = dict(reg_c.vs._latents)
+    reg_n.vs._transforms = dict(reg_c.vs._transforms)
+    approx(lp_fixed, reg_n.logpdf(x, y_std), atol=1e-6)
+
+    # Without conditioning both modes are the identity: equal values.
+    reg_a = GPARRegressor(normalise_y=True, compat=True)
+    reg_b = GPARRegressor(normalise_y=True, compat=False)
+    ya = reg_a.sample(x, p=2, key=jax.random.PRNGKey(0))
+    reg_b.vs._latents = dict(reg_a.vs._latents)
+    reg_b.vs._transforms = dict(reg_a.vs._transforms)
+    approx(reg_a.logpdf(x, ya), reg_b.logpdf(x, ya), atol=1e-9)
