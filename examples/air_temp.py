@@ -7,6 +7,14 @@ Run: ``python examples/air_temp.py [size] [--quick] [--data-dir DIR]``
 ``examples/paper/air_temp.py:23-27``).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running from a checkout without installing
+
+
 import sys
 
 import numpy as np

@@ -5,6 +5,14 @@ joint fit (``fix=False``), MAE on cadmium.
 Run: ``python examples/jura.py [--quick] [--data-dir DIR]``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running from a checkout without installing
+
+
 import sys
 
 from gpar_tpu import GPARRegressor, log_transform

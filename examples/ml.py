@@ -7,6 +7,14 @@ Without ``--data``, a synthetic stand-in with the same structure is used
 (the reference reads ``examples/paper/ml_data/data.pickle``).
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running from a checkout without installing
+
+
 import pickle
 import sys
 

@@ -5,6 +5,14 @@ discard increasing fractions, refit, and predict.
 Run: ``python examples/model_sample.py [--quick]``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running from a checkout without installing
+
+
 import sys
 
 import numpy as np

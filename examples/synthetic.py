@@ -5,6 +5,14 @@ complicated ways, GPAR vs the independent-GP baseline (``markov=0``).
 Run: ``python examples/synthetic.py [--quick]``
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)  # allow running from a checkout without installing
+
+
 import sys
 
 import numpy as np

@@ -9,7 +9,7 @@ Pallas kernels, sharding) are available under their submodules.
 """
 
 from . import config as _config_module  # noqa: F401 — enables x64 on import
-from .config import config  # noqa: F401
+from .config import config, use_mesh  # noqa: F401
 from .models.gpar import GPAR  # noqa: F401
 from .models.regressor import (  # noqa: F401
     GPARRegressor,
@@ -27,4 +27,5 @@ __all__ = [
     "squishing_transform",
     "set_seed",
     "config",
+    "use_mesh",
 ]

@@ -37,15 +37,23 @@ jax.config.update(
 # shape; caching them on disk makes repeated runs (tests, benchmarks, the
 # examples) start hot.
 if not os.environ.get("GPAR_TPU_NO_COMPILATION_CACHE"):
+    # One cache dir PER PLATFORM: mixing backends in one dir is poisonous —
+    # entries AOT-compiled elsewhere (e.g. by a remote TPU compile service
+    # on a host with different CPU features) fail to load with a logged
+    # error on every lookup, which measurably slows every jit call
+    # (observed: a 1.6 GB mixed cache made a 19 s test subset take 118 s).
+    _platform = os.environ.get("JAX_PLATFORMS") or "default"
     _cache_dir = os.environ.get(
         "GPAR_TPU_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "gpar_tpu_xla"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache", f"gpar_tpu_xla_{_platform}"
+        ),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # Only persist compiles that are worth the disk/load traffic.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover — cache is best-effort
         pass
 
@@ -57,6 +65,12 @@ class _Config:
         #: Diagonal jitter added before every Cholesky factorisation.
         #: Mirrors ``lab.B.epsilon`` (default 1e-12).
         self.epsilon = 1e-12
+        #: Jitter floor applied when factorising float32 matrices, where
+        #: 1e-12 is below working resolution (the reference's large-data
+        #: example raises the global knob to exactly this,
+        #: ``examples/paper/air_temp.py:18``).  The effective float32
+        #: jitter is ``max(epsilon, epsilon_f32)``.
+        self.epsilon_f32 = 1e-6
         #: Multiplicative factors for escalating jitter retries when a
         #: factorisation produces NaNs.  Each entry multiplies ``epsilon``.
         self.cholesky_retry_factors = (1e3, 1e6)
@@ -75,9 +89,64 @@ class _Config:
         #: Minimum n*m size for the fused Gram to engage (small problems
         #: are dominated by launch overhead).
         self.pallas_gram_min_size = 262144
+        #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
+        #: one axis, or None).  When set, the sparse (Titsias) training
+        #: path row-shards its per-layer statistics over the mesh and
+        #: Monte-Carlo sampling shards its key batch.  Set via
+        #: :func:`gpar_tpu.use_mesh` or the ``mesh=`` arguments on
+        #: ``GPARRegressor.fit/predict/sample/logpdf``.
+        self.mesh = None
+        #: Name of the mesh axis rows/samples are sharded over.
+        self.shard_axis = "dp"
+        #: Layers with fewer rows than this stay single-device (the psum +
+        #: padding overhead dominates tiny layers).
+        self.shard_min_rows = 1024
 
 
 config = _Config()
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def use_mesh(mesh, min_rows=None, axis=None):
+    """Execute the enclosed fits/predictions sharded over ``mesh``.
+
+    The reference has no distributed execution (SURVEY.md §2.4); this is
+    the TPU-native scale-out path: row-sharded Titsias statistics (one
+    m^2 psum over ICI per layer) and sample-sharded prediction.
+
+    Example::
+
+        mesh = gpar_tpu.parallel.make_mesh()
+        with gpar_tpu.use_mesh(mesh):
+            reg.fit(x, y)
+            means = reg.predict(x_new)
+    """
+    prev = (config.mesh, config.shard_min_rows, config.shard_axis)
+    config.mesh = mesh
+    if min_rows is not None:
+        config.shard_min_rows = min_rows
+    if axis is not None:
+        config.shard_axis = axis
+    try:
+        yield mesh
+    finally:
+        config.mesh, config.shard_min_rows, config.shard_axis = prev
+
+
+def mesh_descriptor():
+    """Hashable summary of the active mesh (for jit-cache keys)."""
+    m = config.mesh
+    if m is None:
+        return None
+    return (
+        tuple(m.axis_names),
+        tuple(m.devices.shape),
+        config.shard_axis,
+        config.shard_min_rows,
+    )
 
 
 def default_dtype():

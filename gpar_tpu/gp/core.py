@@ -326,6 +326,29 @@ def PseudoObs(fdd_ind, fdd, y):
     if noise is None:
         raise ValueError("PseudoObs requires observation noise.")
     kern = f.kernel
+
+    # Multi-chip path: with an active execution mesh (gpar_tpu.use_mesh)
+    # and enough rows, the n-dependent statistics are row-sharded over the
+    # mesh with a single m^2 psum (parallel/sharded.py).  Identical
+    # quantities, oracle-tested against this single-device branch.
+    from ..config import config as _cfg
+
+    mesh = _cfg.mesh
+    if mesh is not None and x.shape[0] >= max(
+        _cfg.shard_min_rows, mesh.devices.size
+    ):
+        from ..parallel.sharded import pad_rows, sharded_titsias_factors
+
+        xp, mask = pad_rows(x, mesh.devices.size)
+        yp, _ = pad_rows(y, mesh.devices.size)
+        noisep, _ = pad_rows(noise, mesh.devices.size, value=1.0)
+        elbo, Lm, LB, beta = sharded_titsias_factors(
+            kern, z, xp, yp, noisep, mask, mesh, axis=_cfg.shard_axis
+        )
+        return TitsiasObs(
+            fdd_ind=fdd_ind, fdd=fdd, y=y, Lm=Lm, LB=LB, beta=beta, elbo=elbo
+        )
+
     Kmm = gram(kern, z, z)
     Kmn = gram(kern, z, x)
     knn_diag = kdiag(kern, x)

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import default_dtype
+from ..config import default_dtype, mesh_descriptor, use_mesh
 from ..params.optim import lbfgs_traced, minimise_l_bfgs_b
 from ..params.store import Vars
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel
@@ -434,17 +434,20 @@ class GPARRegressor:
         trace = kw_args.get("trace", False)
         fused = kw_args.pop("fused", True)
         profile_dir = kw_args.pop("profile_dir", None)
+        mesh = kw_args.pop("mesh", None)
+        import contextlib
+
         if profile_dir is not None:
             # Capture an XLA/TPU profile of the whole fit
             # (``jax.profiler``; view with TensorBoard or xprof).
-            import contextlib
-
             ctx = jax.profiler.trace(profile_dir)
         else:
-            import contextlib
-
             ctx = contextlib.nullcontext()
-        with ctx:
+        # ``mesh=`` row-shards the sparse per-layer statistics over the
+        # device mesh (TPU-native multi-chip; the reference is
+        # single-process, SURVEY.md §2.4).
+        mesh_ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with ctx, mesh_ctx:
             return self._fit_inner(
                 y_cached, all_names, fix, fused, trace, **kw_args
             )
@@ -585,6 +588,7 @@ class GPARRegressor:
             iters,
             gtol,
             memory_size,
+            mesh_descriptor(),
             _fingerprint(self.y, self.w, self.x_ind),
         )
         fit_fn = self._jit_cache.get(cache_key)
@@ -608,13 +612,28 @@ class GPARRegressor:
             "fused": True,
         }
 
-    def logpdf(self, x, y, w=None, sample_missing=False, posterior=False, key=None):
+    def logpdf(
+        self,
+        x,
+        y,
+        w=None,
+        sample_missing=False,
+        posterior=False,
+        key=None,
+        mesh=None,
+    ):
         """Logpdf of observations (``gpar/regression.py:461-506``).
 
         Returns a JAX scalar if ``x`` or ``y`` was a JAX array (the analogue
         of the reference keeping torch inputs attached to the graph),
         otherwise a Python float.
         """
+        if mesh is not None:
+            with use_mesh(mesh):
+                return self.logpdf(
+                    x, y, w, sample_missing=sample_missing,
+                    posterior=posterior, key=key,
+                )
         any_jax = isinstance(x, jax.Array) or isinstance(y, jax.Array)
 
         x = _uprank(_to_jnp(x))
@@ -655,13 +674,31 @@ class GPARRegressor:
         num_samples=1,
         latent=False,
         key=None,
+        mesh=None,
     ):
         """Sample from the prior or posterior
         (``gpar/regression.py:508-564``).
 
         Returns a single (n, p) array, or a list of them when
         ``num_samples > 1`` (reference convention).
+
+        ``mesh=`` (or an enclosing :func:`gpar_tpu.use_mesh`) shards the
+        Monte-Carlo key batch over the device mesh — each chip draws its
+        share of the samples.
         """
+        import contextlib
+
+        from ..config import config as _cfg
+
+        mesh_ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with mesh_ctx:
+            return self._sample_inner(
+                x, w, p, posterior, num_samples, latent, key, _cfg.mesh
+            )
+
+    def _sample_inner(
+        self, x, w, p, posterior, num_samples, latent, key, active_mesh
+    ):
         x = _uprank(_to_jnp(x))
 
         if posterior and not self.is_conditioned:
@@ -683,7 +720,21 @@ class GPARRegressor:
 
         if key is None:
             key = next_key()
-        keys = jax.random.split(key, num_samples)
+        n_keys = num_samples
+        if active_mesh is not None:
+            # Pad the key batch to a mesh multiple so each device draws an
+            # equal share; surplus samples are dropped after the fact.
+            size = active_mesh.devices.size
+            n_keys = num_samples + (-num_samples) % size
+        keys = jax.random.split(key, n_keys)
+        if active_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..config import config as _cfg
+
+            keys = jax.device_put(
+                keys, NamedSharding(active_mesh, PartitionSpec(_cfg.shard_axis))
+            )
 
         # Conditioning + the whole vmapped ancestral sampling chain run as
         # ONE jitted program: per-op dispatch never touches the host, all
@@ -744,6 +795,7 @@ class GPARRegressor:
             latent,
             posterior,
             p_out,
+            mesh_descriptor(),
             _fingerprint(self.y, self.w, self.x_ind) if posterior else None,
         )
         sample_fn = self._jit_cache.get(cache_key)
@@ -751,7 +803,7 @@ class GPARRegressor:
             sample_fn = jax.jit(program)
             self._jit_cache[cache_key] = sample_fn
         batch = sample_fn(z, x_data, x, w, keys)
-        batch = np.asarray(undo_transforms(batch))
+        batch = np.asarray(undo_transforms(batch))[:num_samples]
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
 
@@ -763,11 +815,18 @@ class GPARRegressor:
         latent=False,
         credible_bounds=False,
         key=None,
+        mesh=None,
     ):
         """Monte-Carlo predictive means (and 95% central credible bounds)
         at new inputs (``gpar/regression.py:566-597``)."""
         samples = self.sample(
-            x, w, num_samples=num_samples, latent=latent, posterior=True, key=key
+            x,
+            w,
+            num_samples=num_samples,
+            latent=latent,
+            posterior=True,
+            key=key,
+            mesh=mesh,
         )
         if num_samples == 1:
             samples = [samples]

@@ -34,9 +34,27 @@ __all__ = [
 LOG_2PI = 1.8378770664093453  # log(2 * pi)
 
 
+def resolve_epsilon(dtype, epsilon=None):
+    """Effective Cholesky jitter for ``dtype``.
+
+    ``config.epsilon`` (the ``lab.B.epsilon`` analogue, default 1e-12) is a
+    float64 value; in float32 it is below the representable resolution of
+    typical Gram entries, so the float32 floor ``config.epsilon_f32``
+    (default 1e-6, the value the reference's ill-conditioned example sets
+    globally, ``examples/paper/air_temp.py:18``) applies instead.  An
+    explicit ``epsilon`` argument always wins.
+    """
+    if epsilon is not None:
+        return epsilon
+    eps = config.epsilon
+    if jnp.dtype(dtype) == jnp.dtype("float32"):
+        eps = max(eps, getattr(config, "epsilon_f32", 1e-6))
+    return eps
+
+
 def add_jitter(K, epsilon=None):
     """Add ``epsilon`` to the diagonal of a square matrix."""
-    eps = config.epsilon if epsilon is None else epsilon
+    eps = resolve_epsilon(K.dtype, epsilon)
     n = K.shape[-1]
     return K + eps * jnp.eye(n, dtype=K.dtype)
 
@@ -48,7 +66,7 @@ def safe_cholesky(K, epsilon=None):
     jitter by ``config.cholesky_retry_factors``.  ``lax.cond`` ensures only
     the needed factorisations execute under jit.
     """
-    eps = config.epsilon if epsilon is None else epsilon
+    eps = resolve_epsilon(K.dtype, epsilon)
     n = K.shape[-1]
     if n == 0:
         return jnp.zeros_like(K)

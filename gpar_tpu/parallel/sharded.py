@@ -32,6 +32,7 @@ from ..ops.linalg import LOG_2PI, safe_cholesky, solve_lower
 __all__ = [
     "make_mesh",
     "sharded_titsias_elbo",
+    "sharded_titsias_factors",
     "pad_rows",
     "sharded_sample_batch",
 ]
@@ -125,6 +126,53 @@ def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
         out_specs=P(),
     )
     return fn(kernel, z, Lm, x, y, noise_diag, mask)
+
+
+def sharded_titsias_factors(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
+    """Sharded Titsias ELBO *and* posterior factors in one pass.
+
+    Computes the same quantities as the single-device ``PseudoObs``
+    (``gp/core.py``): the collapsed ELBO plus the (m, m)/(m,) posterior
+    factors ``Lm``, ``LB``, ``beta``.  Rows of (x, y, noise_diag, mask)
+    are sharded over ``mesh``'s ``axis``; each device contributes an
+    (m, m) moment matrix and an m-vector through a single ``psum`` (the
+    only communication — O(m^2), independent of n); the O(m^3) finish is
+    replicated.
+
+    Returns:
+        (elbo, Lm, LB, beta)
+    """
+    m = z.shape[0]
+    dtype = x.dtype
+    Lm = safe_cholesky(gram(kernel, z, z))
+
+    def local(kernel, z, Lm, x, y, noise_diag, mask):
+        return _local_titsias_stats(
+            kernel, z, Lm, x, y, jnp.zeros_like(y), noise_diag, mask, axis
+        )
+
+    stats_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    G, b, logdet_d, quad_diag, trace_knn, n_total = stats_fn(
+        kernel, z, Lm, x, y, noise_diag, mask
+    )
+    elbo = _titsias_finish(
+        G, b, logdet_d, quad_diag, trace_knn, n_total, m=m, dtype=dtype
+    )
+    LB = jnp.linalg.cholesky(G + jnp.eye(m, dtype=dtype))
+    # beta = Lm^{-T} (LB LB^T)^{-1} b  (identical to the single-device
+    # factorisation in gp/core.py:PseudoObs, with b == u).
+    from jax.scipy.linalg import solve_triangular
+
+    c = solve_triangular(
+        LB, solve_triangular(LB, b, lower=True), lower=True, trans=1
+    )
+    beta = solve_triangular(Lm, c, lower=True, trans=1)
+    return elbo, Lm, LB, beta
 
 
 def sharded_sample_batch(sample_fn, keys, mesh, axis="dp"):

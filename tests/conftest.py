@@ -25,3 +25,13 @@ import jax  # noqa: E402
 import gpar_tpu  # noqa: E402, F401 — enables x64 before any array ops
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# Tests execute on CPU even though the axon TPU plugin is registered, so
+# keep their compile cache separate from the TPU runs' cache (mixed-backend
+# cache dirs poison lookup speed; see gpar_tpu/config.py).
+if not os.environ.get("GPAR_TPU_NO_COMPILATION_CACHE"):
+    _test_cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "gpar_tpu_xla_cputest"
+    )
+    os.makedirs(_test_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _test_cache)

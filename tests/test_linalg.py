@@ -154,3 +154,35 @@ def test_titsias_elbo_grad_finite_at_small_noise():
 
     g = jax.grad(obj)(jnp.log(jnp.asarray(1e-8)))
     assert np.isfinite(float(g))
+
+
+def test_resolve_epsilon_dtype_aware():
+    from gpar_tpu.config import config
+    from gpar_tpu.ops.linalg import resolve_epsilon
+
+    # f64 keeps the lab.B.epsilon default; f32 gets the floor (the value
+    # the reference's ill-conditioned example sets globally,
+    # examples/paper/air_temp.py:18).
+    assert resolve_epsilon(jnp.float64) == config.epsilon
+    assert resolve_epsilon(jnp.float32) == config.epsilon_f32
+    # Explicit argument always wins.
+    assert resolve_epsilon(jnp.float32, 1e-3) == 1e-3
+    # A raised global knob propagates to f32 too.
+    old = config.epsilon
+    try:
+        config.epsilon = 1e-4
+        assert resolve_epsilon(jnp.float32) == 1e-4
+    finally:
+        config.epsilon = old
+
+
+def test_safe_cholesky_f32_near_singular_stays_finite():
+    # An EQ Gram over tightly-spaced points is numerically rank-deficient
+    # in float32; the dtype-aware jitter floor must keep the factor finite
+    # (regression: with eps=1e-12 this NaNs on f32).
+    from gpar_tpu.ops.linalg import safe_cholesky
+
+    x = jnp.asarray(np.linspace(0, 1e-3, 64)[:, None], jnp.float32)
+    K = gram(EQ(), x, x)
+    L = safe_cholesky(K)
+    assert bool(jnp.isfinite(L).all())

@@ -110,3 +110,86 @@ def test_sharded_sample_batch():
     # Must equal the unsharded vmap with the same keys.
     expected = jax.vmap(one)(keys)
     approx(out, expected, atol=1e-10)
+
+
+def test_sharded_titsias_factors_match_pseudo_obs():
+    # ELBO + posterior factors from the sharded pass equal the
+    # single-device PseudoObs factorisation (gp/core.py).
+    from gpar_tpu.gp.core import PseudoObs
+    from gpar_tpu.parallel.sharded import sharded_titsias_factors
+
+    mesh = _cpu_mesh()
+    n, m = 48, 6
+    kern = 1.3 * EQ().stretch(jnp.asarray([0.7]))
+    x = jnp.asarray(np.sort(rng.uniform(0, 5, n))[:, None])
+    z = jnp.asarray(np.linspace(0, 5, m)[:, None])
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.05 * rng.standard_normal(n))
+    noise = jnp.asarray(0.05 + 0.01 * rng.random(n))
+
+    f = GP(kern)
+    obs = PseudoObs(f(z), f(x, noise), y)
+
+    elbo, Lm, LB, beta = sharded_titsias_factors(
+        kern, z, x, y, noise, jnp.ones(n), mesh
+    )
+    approx(elbo, obs.elbo, atol=1e-9)
+    approx(Lm, obs.Lm, atol=1e-9)
+    approx(LB, obs.LB, atol=1e-9)
+    approx(beta, obs.beta, atol=1e-9)
+
+
+def test_use_mesh_estimator_end_to_end():
+    # The public API path: fit + logpdf + predict under use_mesh must match
+    # the single-device run (same data, same keys, f64).
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    n, p = 64, 3
+    x = np.linspace(0, 8, n)
+    rng2 = np.random.default_rng(11)
+    y = np.stack(
+        [np.sin(x), np.cos(x), np.sin(2 * x)], axis=1
+    ) + 0.05 * rng2.standard_normal((n, p))
+    x_ind = np.linspace(0, 8, 12)
+
+    def run(mesh):
+        reg = GPARRegressor(noise=0.1, x_ind=x_ind, normalise_y=False)
+        kw = {"mesh": mesh} if mesh is not None else {}
+        reg.fit(x, y, iters=15, **kw)
+        lp = reg.logpdf(x, y, **kw)
+        pred = reg.predict(
+            x, num_samples=8, key=jax.random.PRNGKey(3), **kw
+        )
+        return reg, lp, pred
+
+    mesh = _cpu_mesh()
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        reg_s, lp_s, pred_s = run(None)  # active via context
+    reg_d, lp_d, pred_d = run(None)
+
+    # The sharded moments sum in a different order; the tiny f64 difference
+    # compounds through the L-BFGS trajectory, so tolerances are loose-ish.
+    for name in reg_d.vs.names:
+        approx(reg_s.vs[name], reg_d.vs[name], atol=5e-2)
+    approx(lp_s, lp_d, atol=1e-2)
+    approx(pred_s, pred_d, atol=5e-2)
+
+
+def test_mesh_kwarg_sample_sharding_pads_num_samples():
+    # num_samples not divisible by the mesh size still returns exactly
+    # num_samples samples.
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    n, p = 32, 2
+    x = np.linspace(0, 4, n)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1)
+    reg = GPARRegressor(noise=0.1, normalise_y=False)
+    reg.condition(x, y)
+    mesh = _cpu_mesh()
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        samples = reg.sample(
+            x, posterior=True, num_samples=5, key=jax.random.PRNGKey(0)
+        )
+    assert isinstance(samples, list) and len(samples) == 5
+    assert samples[0].shape == (n, p)
