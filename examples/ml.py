@@ -43,14 +43,23 @@ if __name__ == "__main__":
         )
     else:
         # Synthetic stand-in: 6 hyperparameters -> decaying loss curves.
+        # The targets depend smoothly on the final feature values (incl.
+        # the wide-range "log learning rate" column) so the curves are
+        # learnable from x, as the real grid-search data is.
         rng = np.random.default_rng(0)
         n = 200
         x = rng.uniform(-1, 1, size=(n, 6))
-        quality = 1.0 + 0.5 * np.tanh(x @ rng.normal(size=6))
+        # Column 3 plays the "log learning rate"; like the real grid-search
+        # features it lives on a comparable (unit-ish) scale — the
+        # reference config's scale=0.1 initial lengthscale cannot adapt to
+        # an arbitrarily wide column within the optimisation budget.
+        lr_term = np.exp(-(((x[:, 3] - 0.2) / 0.4) ** 2))  # sweet spot ~0.2
+        quality = 1.2 - 0.6 * lr_term + 0.3 * np.tanh(
+            x[:, [0, 1, 2, 4, 5]] @ rng.normal(size=5)
+        )
         epochs = np.array([1, 6, 11, 16, 21], dtype=float)
         y = quality[:, None] * (1.0 + 2.0 * np.exp(-epochs[None, :] / 8.0))
         y += 0.05 * rng.standard_normal(y.shape)
-        x[:, 3] = rng.uniform(-12, -1, size=n)  # "log learning rate" column
 
     # Filter extreme points (reference examples/paper/ml.py:28-33).
     max_error_at_0 = 5

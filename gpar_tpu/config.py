@@ -58,6 +58,18 @@ if not os.environ.get("GPAR_TPU_NO_COMPILATION_CACHE"):
         pass
 
 
+# Honour an explicit JAX_PLATFORMS=cpu even when an out-of-tree TPU plugin
+# registers itself anyway (observed with tunnelled-TPU plugins): pin the
+# default device to the host CPU so example scripts and user code run where
+# the user asked.  No-op on standard installs (backend is already cpu).
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
+    try:  # pragma: no cover — plugin-specific environment quirk
+        if jax.default_backend() != "cpu":
+            jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    except Exception:
+        pass
+
+
 class _Config:
     """Mutable global configuration (mirrors ``lab.B.epsilon``)."""
 
