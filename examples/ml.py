@@ -89,9 +89,15 @@ if __name__ == "__main__":
     iters = 10 if quick else 100
     num_samples = 20 if quick else 100
 
-    # Reference config (examples/paper/ml.py:56-66).
+    # Reference config (examples/paper/ml.py:56-66).  Initial lengthscales
+    # are set per-column relative to each hyperparameter's range (the
+    # reference's scalar 0.1 presumes comparably-scaled columns; the grid
+    # columns here span anywhere from 0.6 to 400 units).
+    scale_init = 0.1 if "--data" not in sys.argv else 0.2 * (
+        x_train.max(axis=0) - x_train.min(axis=0)
+    )
     model = GPARRegressor(
-        scale=0.1,
+        scale=scale_init,
         linear=True,
         linear_scale=100.0,
         nonlinear=True,

@@ -69,4 +69,8 @@ def get_results(params, n_epochs=N_EPOCHS, seed=0):
         model.eval()
         with torch.no_grad():
             val_losses.append(float(loss_fn(model(x_val_t), y_val_t)))
-    return {"val_loss": np.asarray(val_losses)}
+    # Cap diverged runs: a val_loss beyond 5 carries no more information
+    # than "diverged" (the downstream experiment filters at error 5,
+    # reference examples/paper/ml.py:28-33) but its magnitude (up to ~1e4)
+    # would dominate normalisation statistics.
+    return {"val_loss": np.minimum(np.asarray(val_losses), 5.0)}

@@ -30,13 +30,17 @@ KEY_ORDER = [
     "log_l2_weight_reg",
 ]
 
+# Ranges chosen so most configurations train at least partially — the
+# loss response surface is then smooth in the hyperparameters, which is
+# the regime the GPAR experiment studies (a surface that is mostly
+# "diverged" carries no learnable signal for any regressor).
 GRID = {
     "n_neurons": np.arange(50.0, 500.0, 50.0),
     "n_hidden_layers": np.arange(1.0, 4.0, 1.0),
-    "prob_drop_out": np.arange(0.0, 0.9, 0.1),
-    "log_learning_rate": np.arange(-10.0, 0.0, 1.0),
-    "log_l1_weight_reg": np.arange(-20.0, 0.0, 2.0),
-    "log_l2_weight_reg": np.arange(-20.0, 0.0, 2.0),
+    "prob_drop_out": np.arange(0.0, 0.7, 0.1),
+    "log_learning_rate": np.arange(-7.0, -1.0, 0.5),
+    "log_l1_weight_reg": np.arange(-12.0, -4.0, 1.0),
+    "log_l2_weight_reg": np.arange(-12.0, -4.0, 1.0),
 }
 
 if __name__ == "__main__":

@@ -238,9 +238,16 @@ class FDD:
 
     def sample(self, key, num_samples=None):
         """Joint MVN draw(s); returns (n, 1) for a single sample (stheno
-        convention: ``gpar/model.py:264,270``) or (num_samples, n, 1)."""
+        convention: ``gpar/model.py:264,270``) or (num_samples, n, 1).
+
+        Uses :func:`psd_sample_factor`: near-interpolating posteriors can
+        be numerically indefinite beyond jitter repair; sampling clamps
+        the spectrum instead of returning NaNs.
+        """
+        from ..ops.linalg import psd_sample_factor
+
         n = self.x.shape[0]
-        L = self.chol()
+        L = psd_sample_factor(self.cov())
         m = self.mean_vec()
         if num_samples is None:
             z = jax.random.normal(key, (n,), dtype=self.x.dtype)

@@ -331,6 +331,9 @@ class GPARRegressor:
         # fingerprint).  Avoids re-tracing on repeated fit/predict calls.
         self._jit_cache = {}
         self.is_conditioned = False
+        #: Structured observability for the most recent fit: per-layer NLL,
+        #: L-BFGS iteration counts (fused path), wall-clock, path taken.
+        self.last_fit_report = None
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
         self.w = None  # Weights for every time stamp
@@ -463,6 +466,10 @@ class GPARRegressor:
             )
             return
 
+        import time as _time
+
+        t0 = _time.time()
+        layer_nll = []
         for pi in range(self.p):
             if fix:
                 # Precompute the previous layers' augmented inputs — the
@@ -504,7 +511,15 @@ class GPARRegressor:
             else:
                 names = [f"{i}/*" for i in range(pi + 1)]
 
-            minimise_l_bfgs_b(objective, self.vs, names=names, **kw_args)
+            layer_nll.append(
+                minimise_l_bfgs_b(objective, self.vs, names=names, **kw_args)
+            )
+        self.last_fit_report = {
+            "layer_nll": np.asarray(layer_nll),
+            "layer_iters": None,  # per-layer driver does not track iterations
+            "wall_clock_s": _time.time() - t0,
+            "fused": False,
+        }
 
     def _fit_fixed_fused(self, y_cached, all_names, iters, gtol, memory_size):
         """The whole fix=True fit as one jitted program.

@@ -28,6 +28,7 @@ __all__ = [
     "mvn_logpdf",
     "mvn_logpdf_chol",
     "titsias_elbo",
+    "psd_sample_factor",
     "LOG_2PI",
 ]
 
@@ -82,7 +83,47 @@ def safe_cholesky(K, epsilon=None):
             lambda L=L: L,
             lambda f=factor: attempt(eps * f),
         )
+    # Last resort: jitter relative to the matrix's own scale.  Absolute
+    # rungs top out at eps * max(factor) (1e-6 at the f64 default), which
+    # cannot repair a posterior covariance that has gone indefinite at the
+    # ~1e-5 level deep in an autoregressive chain; 1e-6 of the mean
+    # diagonal always can, at the cost of slightly inflated variances on
+    # that (already degenerate) factorisation only.
+    rel = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(K)))
+    L = lax.cond(
+        jnp.all(jnp.isfinite(L)),
+        lambda L=L: L,
+        lambda: attempt(jnp.maximum(rel, eps)),
+    )
     return L
+
+
+def psd_sample_factor(K, epsilon=None):
+    """A factor ``F`` with ``F F^T ~= K`` that is always finite, for MVN
+    *sampling* (``F @ z``; F need not be triangular).
+
+    Tries the jittered Cholesky first.  If the matrix is genuinely
+    indefinite beyond what jitter can repair — posterior covariances of
+    near-interpolating GPs (noise at the 1e-8 floor, condition numbers
+    ~1e12) can be indefinite at the 1e-4 level in float64 — falls back to
+    an eigendecomposition with negative eigenvalues clamped to the jitter
+    level: the closest PSD matrix in Frobenius norm.  Log-densities keep
+    using :func:`safe_cholesky` (a clamped density would be silently
+    wrong; a clamped *sample* is the standard fix).
+    """
+    eps = resolve_epsilon(K.dtype, epsilon)
+    n = K.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(K)
+    L = safe_cholesky(K, epsilon)
+
+    def clamped():
+        w, V = jnp.linalg.eigh(K)
+        return V * jnp.sqrt(jnp.maximum(w, eps))[None, :]
+
+    return lax.cond(
+        jnp.all(jnp.isfinite(L)), lambda: L, clamped
+    )
 
 
 def solve_lower(L, b):

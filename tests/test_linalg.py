@@ -186,3 +186,27 @@ def test_safe_cholesky_f32_near_singular_stays_finite():
     K = gram(EQ(), x, x)
     L = safe_cholesky(K)
     assert bool(jnp.isfinite(L).all())
+
+
+def test_psd_sample_factor_indefinite():
+    # Posterior covariances of near-interpolating GPs can be indefinite
+    # beyond jitter repair; the sampling factor must stay finite and
+    # reproduce the clamped matrix (regression: NaN predictive samples).
+    from gpar_tpu.ops.linalg import psd_sample_factor, safe_cholesky
+
+    n = 40
+    A = np.asarray(rng.normal(size=(n, n)))
+    K = (A + A.T) / 2
+    w, V = np.linalg.eigh(K)
+    w = np.abs(w)
+    w[:5] = -1e-4  # indefinite at a level jitter ladders cannot repair
+    K = jnp.asarray(V @ np.diag(w) @ V.T)
+
+    assert bool(jnp.isnan(safe_cholesky(K)).any())  # cholesky cannot
+    F = psd_sample_factor(K)
+    assert bool(jnp.isfinite(F).all())
+    K_hat = F @ F.T
+    w_hat = np.linalg.eigvalsh(np.asarray(K_hat))
+    assert w_hat.min() >= 0
+    # Positive part of the spectrum is preserved.
+    approx(np.sort(w_hat)[5:], np.sort(w)[5:], atol=1e-8)

@@ -375,3 +375,21 @@ def test_compat_logpdf_quirk():
     reg_b.vs._latents = dict(reg_a.vs._latents)
     reg_b.vs._transforms = dict(reg_a.vs._transforms)
     approx(reg_a.logpdf(x, ya), reg_b.logpdf(x, ya), atol=1e-9)
+
+
+def test_last_fit_report_both_paths(xw):
+    x, w = xw
+    rng2 = np.random.default_rng(7)
+    y = rng2.standard_normal((10, 2))
+
+    reg = GPARRegressor(noise=0.1, normalise_y=False)
+    assert reg.last_fit_report is None
+    reg.fit(x, y, w, iters=5)  # fused fix=True path
+    rep = reg.last_fit_report
+    assert rep["fused"] and rep["layer_nll"].shape == (2,)
+    assert rep["layer_iters"].shape == (2,) and rep["wall_clock_s"] > 0
+
+    reg2 = GPARRegressor(noise=0.1, normalise_y=False)
+    reg2.fit(x, y, w, iters=5, fused=False)  # per-layer driver
+    rep2 = reg2.last_fit_report
+    assert not rep2["fused"] and rep2["layer_nll"].shape == (2,)
