@@ -49,8 +49,15 @@ def _nan_mask_col0(y):
 
 def take_rows(x, mask):
     """Row-filter by a *concrete* boolean mask (static gather, jit-safe even
-    when ``x`` is traced).  Replaces ``x[mask]`` (``gpar/model.py:165``)."""
+    when ``x`` is traced).  Replaces ``x[mask]`` (``gpar/model.py:165``).
+
+    NumPy inputs stay NumPy: the regressor's cached ``per_output`` plan is
+    built host-side once per dataset, and eager device ops per layer would
+    cost a dispatch round-trip each (measured ~0.7 s of pure overhead per
+    fit call through a remote relay)."""
     idx = np.nonzero(_np_mask(mask))[0]
+    if isinstance(x, np.ndarray):
+        return np.take(x, idx, axis=0)
     return jnp.take(jnp.asarray(x), idx, axis=0)
 
 
@@ -119,8 +126,11 @@ def per_output(y, w, keep=False):
             yield yi
         return
 
-    y = jnp.asarray(y)
-    w = jnp.asarray(w)
+    if not isinstance(y, np.ndarray):
+        y = jnp.asarray(y)
+        w = jnp.asarray(w)
+    else:
+        w = np.asarray(w)
     p = y.shape[1]
     available = ~np.isnan(np.asarray(y))
 

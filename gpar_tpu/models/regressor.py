@@ -334,6 +334,10 @@ class GPARRegressor:
         #: Structured observability for the most recent fit: per-layer NLL,
         #: L-BFGS iteration counts (fused path), wall-clock, path taken.
         self.last_fit_report = None
+        # Host-side per-dataset caches (populated by condition()).
+        self._y_cache = None
+        self._data_fingerprint = None
+        self._vars_ready = None
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
         self.w = None  # Weights for every time stamp
@@ -346,6 +350,19 @@ class GPARRegressor:
         self.normalise_y = normalise_y
         self._unnormalise_y, self._normalise_y = lambda x: x, lambda x: x
         self._transform_y, self._untransform_y = transform_y
+
+    def _ensure_vars(self, p):
+        """Instantiate every layer's variables once per (m, p).
+
+        The generators run eagerly (each ``vs.bnd`` transform is a device
+        op), so repeating this per fit/predict call costs ~100 dispatch
+        round-trips on a 16-layer model; the guard makes it once per
+        conditioning."""
+        if self._vars_ready == (self.m, p):
+            return
+        for pi in range(p):
+            _construct_gpar(self, self.vs, self.m, pi + 1).layers[pi]()
+        self._vars_ready = (self.m, p)
 
     def get_variables(self):
         """Dictionary of all hyperparameters (name -> NumPy value),
@@ -398,6 +415,20 @@ class GPARRegressor:
             self.y = normalise_y(self.y)
 
         self.is_conditioned = True
+        self._rebuild_data_caches()
+
+    def _rebuild_data_caches(self):
+        """Host-side caches computed once per dataset: the per_output mask
+        plan (pure NumPy; eager per-layer device gathers cost a dispatch
+        round-trip each) and the content fingerprint keying compiled
+        programs (one device->host fetch instead of one per fit/predict).
+        Called by :meth:`condition` and by checkpoint restore."""
+        y_np, w_np = np.asarray(self.y), np.asarray(self.w)
+        self._y_cache = {
+            k: list(per_output(y_np, w_np, keep=k)) for k in (True, False)
+        }
+        self._data_fingerprint = _fingerprint(y_np, w_np, self.x_ind)
+        self._vars_ready = None
 
     def fit(self, x, y, w=None, greedy=False, fix=True, **kw_args):
         """Fit the model to data (``gpar/regression.py:391-459``).
@@ -417,16 +448,13 @@ class GPARRegressor:
         if greedy:
             raise NotImplementedError("Greedy search is not implemented yet.")
 
-        # Precompute `per_output` for both values of `keep`
-        # (``gpar/regression.py:412-414``).
-        y_cached = {
-            k: list(per_output(self.y, self.w, keep=k)) for k in [True, False]
-        }
+        # The precomputed `per_output` plan for both values of `keep`
+        # (``gpar/regression.py:412-414``), built by condition().
+        y_cached = self._y_cache
 
         # Instantiate every layer's variables once so traced views resolve
         # them without creating state mid-trace.
-        for pi in range(self.p):
-            _construct_gpar(self, self.vs, self.m, pi + 1).layers[pi]()
+        self._ensure_vars(self.p)
         all_names = self.vs.select(None)
 
         # The fix=True fit runs FUSED by default: every layer's L-BFGS loop
@@ -604,7 +632,7 @@ class GPARRegressor:
             gtol,
             memory_size,
             mesh_descriptor(),
-            _fingerprint(self.y, self.w, self.x_ind),
+            self._data_fingerprint,
         )
         fit_fn = self._jit_cache.get(cache_key)
         if fit_fn is None:
@@ -761,10 +789,8 @@ class GPARRegressor:
 
         if posterior:
             # Static mask plan for the closed-downwards conditioning, built
-            # host-side from the (concrete) conditioning data.
-            y_cache = {
-                k: list(per_output(self.y, self.w, keep=k)) for k in [True, False]
-            }
+            # host-side once per dataset by condition().
+            y_cache = self._y_cache
             x_data, m_in, p_out = self.x, self.m, self.p
         else:
             x_data, m_in, p_out = None, x.shape[1], p
@@ -796,10 +822,13 @@ class GPARRegressor:
 
             return jax.vmap(one)(keys)
 
-        # Instantiate variables eagerly before tracing.
-        gpar_warm = _construct_gpar(self, self.vs, m_in, p_out)
-        for layer in gpar_warm.layers:
-            layer()
+        # Instantiate variables eagerly before tracing (once per (m, p)).
+        if posterior:
+            self._ensure_vars(p_out)
+        else:
+            gpar_warm = _construct_gpar(self, self.vs, m_in, p_out)
+            for layer in gpar_warm.layers:
+                layer()
         names = self.vs.select(None)
         z = self.vs.latent_vector(names)
 
@@ -811,7 +840,7 @@ class GPARRegressor:
             posterior,
             p_out,
             mesh_descriptor(),
-            _fingerprint(self.y, self.w, self.x_ind) if posterior else None,
+            self._data_fingerprint if posterior else None,
         )
         sample_fn = self._jit_cache.get(cache_key)
         if sample_fn is None:

@@ -105,6 +105,7 @@ def load_state_dict(state, transform_y=None):
         reg.n, reg.m = reg.x.shape
         reg.p = reg.y.shape[1]
         reg.is_conditioned = True
+        reg._rebuild_data_caches()
 
         stats = state.get("norm_stats")
         if stats is not None:
