@@ -76,7 +76,13 @@ class Vars:
 
     def __init__(self, dtype=None):
         self.dtype = jnp.dtype(dtype) if dtype is not None else default_dtype()
-        self._latents = {}  # name -> jnp array (unconstrained), insertion order
+        # name -> NumPy array (unconstrained), insertion order.  Latents
+        # live on the HOST: they are only ever inputs to jitted programs
+        # (which transfer once per call); device-resident latents cost one
+        # eager dispatch per ravel/slice in latent_vector /
+        # set_latent_vector — ~300 relay round-trips per fit on a
+        # 16-layer model.
+        self._latents = {}
         self._transforms = {}  # name -> transform
 
     # -- variable creation / access --------------------------------------
@@ -85,7 +91,7 @@ class Vars:
             raise ValueError("Variables must be named.")
         if name not in self._latents:
             init = jnp.asarray(init, dtype=self.dtype)
-            self._latents[name] = jnp.asarray(
+            self._latents[name] = np.asarray(
                 transform.unconstrain(init), dtype=self.dtype
             )
             self._transforms[name] = transform
@@ -141,11 +147,12 @@ class Vars:
         ]
 
     def latent_vector(self, names):
-        """Concatenate the selected latents into one flat vector."""
+        """Concatenate the selected latents into one flat vector (host-side;
+        jitted callees transfer it once per call)."""
         if not names:
-            return jnp.zeros((0,), dtype=self.dtype)
-        return jnp.concatenate(
-            [jnp.ravel(self._latents[name]) for name in names]
+            return np.zeros((0,), dtype=self.dtype)
+        return np.concatenate(
+            [np.ravel(np.asarray(self._latents[name])) for name in names]
         )
 
     def _splits(self, names):
@@ -163,8 +170,14 @@ class Vars:
         return out
 
     def set_latent_vector(self, names, vector):
-        for name, latent in self.split_latent_vector(names, vector).items():
-            self._latents[name] = latent
+        # One device->host fetch for the whole vector, then NumPy slices.
+        vector = np.asarray(vector)
+        _, offsets = self._splits(names)
+        for i, name in enumerate(names):
+            shape = np.shape(self._latents[name])
+            self._latents[name] = np.reshape(
+                vector[offsets[i] : offsets[i + 1]], shape
+            )
 
     # -- traced views ------------------------------------------------------
     def with_latents(self, overrides):

@@ -95,7 +95,7 @@ def load_state_dict(state, transform_y=None):
 
     for name, entry in state["vs"].items():
         reg.vs._transforms[name] = _transform_from_state(entry["transform"])
-        reg.vs._latents[name] = jnp.asarray(entry["latent"], dtype=reg.vs.dtype)
+        reg.vs._latents[name] = np.asarray(entry["latent"], dtype=reg.vs.dtype)
 
     if state["data"] is not None:
         d = state["data"]
