@@ -42,7 +42,15 @@ if not os.environ.get("GPAR_TPU_NO_COMPILATION_CACHE"):
     # on a host with different CPU features) fail to load with a logged
     # error on every lookup, which measurably slows every jit call
     # (observed: a 1.6 GB mixed cache made a 19 s test subset take 118 s).
-    _platform = os.environ.get("JAX_PLATFORMS") or "default"
+    # Key on the REAL backend, not the env var: an unset JAX_PLATFORMS can
+    # resolve to tpu on one run and cpu on another (plugin present or not),
+    # and mixing their entries in one dir is the poisoning described below.
+    _platform = os.environ.get("JAX_PLATFORMS")
+    if not _platform:
+        try:
+            _platform = jax.default_backend()
+        except Exception:  # pragma: no cover — no backend available yet
+            _platform = "default"
     _cache_dir = os.environ.get(
         "GPAR_TPU_COMPILATION_CACHE_DIR",
         os.path.join(

@@ -167,38 +167,42 @@ _register(PosteriorGP)
 
 @dataclass(frozen=True)
 class SparsePosteriorGP(AbstractGP):
-    """Titsias variational posterior of a zero-mean GP.
+    """Titsias variational posterior of an arbitrary base GP.
 
-    mean(x*) = K(x*, Z) beta
+    mean(x*) = m(x*) + K(x*, Z) beta
     cov(x*, y*) = K(x*, y*) - T1_x^T T1_y + T2_x^T T2_y
       with T1_x = Lm^{-1} K(Z, x*),  T2_x = LB^{-1} T1_x,
-      Lm = chol(Kmm),  LB = chol(I + A A^T),  A = Lm^{-1} Kmn D^{-1/2}.
+      Lm = chol(Kmm),  LB = chol(I + A A^T),  A = Lm^{-1} Kmn D^{-1/2},
+    where m/K are the base GP's mean/covariance (a zero-mean prior in the
+    common case, or a posterior when conditioning a conditioned GPAR again
+    — the reference's sparse posterior-logpdf path, ``gpar/model.py:287``
+    on posterior layers).
     """
 
-    kernel: Kernel
+    base: AbstractGP
     x_ind: jnp.ndarray  # (m, d)
     Lm: jnp.ndarray  # (m, m)
     LB: jnp.ndarray  # (m, m)
     beta: jnp.ndarray  # (m,)
 
     def mean_vec(self, x):
-        return gram(self.kernel, x, self.x_ind) @ self.beta
+        return self.base.mean_vec(x) + self.base.cov(x, self.x_ind) @ self.beta
 
     def cov(self, x, y=None):
         x = _upcol(x)
         y = x if y is None else _upcol(y)
-        T1x = solve_lower(self.Lm, gram(self.kernel, self.x_ind, x))
-        T1y = T1x if y is x else solve_lower(self.Lm, gram(self.kernel, self.x_ind, y))
+        T1x = solve_lower(self.Lm, self.base.cov(self.x_ind, x))
+        T1y = T1x if y is x else solve_lower(self.Lm, self.base.cov(self.x_ind, y))
         T2x = solve_lower(self.LB, T1x)
         T2y = T2x if y is x else solve_lower(self.LB, T1y)
-        return gram(self.kernel, x, y) - T1x.T @ T1y + T2x.T @ T2y
+        return self.base.cov(x, y) - T1x.T @ T1y + T2x.T @ T2y
 
     def cov_diag(self, x):
         x = _upcol(x)
-        T1x = solve_lower(self.Lm, gram(self.kernel, self.x_ind, x))
+        T1x = solve_lower(self.Lm, self.base.cov(self.x_ind, x))
         T2x = solve_lower(self.LB, T1x)
         return (
-            kdiag(self.kernel, x)
+            self.base.cov_diag(x)
             - jnp.sum(T1x * T1x, axis=0)
             + jnp.sum(T2x * T2x, axis=0)
         )
@@ -320,29 +324,33 @@ def Obs(fdd, y):
 
 def PseudoObs(fdd_ind, fdd, y):
     """Titsias observations ``PseudoObs(f(x_ind), f(x, noise), y)``
-    (``gpar/model.py:287``)."""
+    (``gpar/model.py:287``).
+
+    Works on any base GP — a zero-mean prior, or a (sparse) posterior when
+    a conditioned GPAR is conditioned/evaluated again (the reference
+    builds sparse observations on posterior layers in its posterior-logpdf
+    path).  The collapsed ELBO and the posterior factors (``Lm``, ``LB``,
+    ``beta``) come out of ONE factorisation pass.
+    """
     f = fdd.f
-    if not isinstance(f, GP):
-        raise NotImplementedError(
-            "PseudoObs is only supported on prior GPs (the reference only "
-            "builds sparse observations on prior layers, gpar/model.py:286)."
-        )
     y = _vec(y)
     x, z = fdd.x, fdd_ind.x
     noise = fdd.noise
     if noise is None:
         raise ValueError("PseudoObs requires observation noise.")
-    kern = f.kernel
 
-    # Multi-chip path: with an active execution mesh (gpar_tpu.use_mesh)
-    # and enough rows, the n-dependent statistics are row-sharded over the
-    # mesh with a single m^2 psum (parallel/sharded.py).  Identical
-    # quantities, oracle-tested against this single-device branch.
+    # Multi-chip path (zero-mean priors): with an active execution mesh
+    # (gpar_tpu.use_mesh) and enough rows, the n-dependent statistics are
+    # row-sharded over the mesh with a single m^2 psum
+    # (parallel/sharded.py).  Identical quantities, oracle-tested against
+    # the single-device branch below.
     from ..config import config as _cfg
 
     mesh = _cfg.mesh
-    if mesh is not None and x.shape[0] >= max(
-        _cfg.shard_min_rows, mesh.devices.size
+    if (
+        isinstance(f, GP)
+        and mesh is not None
+        and x.shape[0] >= max(_cfg.shard_min_rows, mesh.devices.size)
     ):
         from ..parallel.sharded import pad_rows, sharded_titsias_factors
 
@@ -350,26 +358,33 @@ def PseudoObs(fdd_ind, fdd, y):
         yp, _ = pad_rows(y, mesh.devices.size)
         noisep, _ = pad_rows(noise, mesh.devices.size, value=1.0)
         elbo, Lm, LB, beta = sharded_titsias_factors(
-            kern, z, xp, yp, noisep, mask, mesh, axis=_cfg.shard_axis
+            f.kernel, z, xp, yp, noisep, mask, mesh, axis=_cfg.shard_axis
         )
         return TitsiasObs(
             fdd_ind=fdd_ind, fdd=fdd, y=y, Lm=Lm, LB=LB, beta=beta, elbo=elbo
         )
 
-    Kmm = gram(kern, z, z)
-    Kmn = gram(kern, z, x)
-    knn_diag = kdiag(kern, x)
+    Kmm = f.cov(z)
+    Kmn = f.cov(z, x)
+    knn_diag = f.cov_diag(x)
+    r = y - f.mean_vec(x)
 
-    elbo = titsias_elbo(Kmm, Kmn, knn_diag, y, jnp.zeros_like(y), noise)
-
-    # Posterior factors.
+    # One factorisation pass shared by the ELBO and the posterior factors.
     m = z.shape[0]
+    n = x.shape[0]
     d_isqrt = 1.0 / jnp.sqrt(noise)
     Lm = safe_cholesky(Kmm)
     A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
     LB = jnp.linalg.cholesky(A @ A.T + jnp.eye(m, dtype=A.dtype))
-    u = A @ (y * d_isqrt)
-    # beta = Sigma_B^{-1} Kmn D^{-1} y with Sigma_B = Kmm + Kmn D^{-1} Knm
+    u = A @ (r * d_isqrt)
+    c = solve_lower(LB, u)
+    # Collapsed ELBO: log N(y | mean, Qnn + D) - 0.5 tr(D^{-1}(Knn - Qnn)).
+    logdet = jnp.sum(jnp.log(noise)) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+    quad = jnp.sum(r * r / noise) - jnp.sum(c * c)
+    lognorm = -0.5 * (n * LOG_2PI + logdet + quad)
+    trace = -0.5 * (jnp.sum(knn_diag / noise) - jnp.sum(A * A))
+    elbo = lognorm + trace
+    # beta = Sigma_B^{-1} Kmn D^{-1} r with Sigma_B = Kmm + Kmn D^{-1} Knm
     #      = Lm^{-T} (LB LB^T)^{-1} u
     beta = solve_triangular(Lm, solve_chol(LB, u), lower=True, trans=1)
     return TitsiasObs(
@@ -384,12 +399,8 @@ SparseObs = PseudoObs
 def condition(f, obs):
     """Posterior GP ``f | obs`` (``gpar/model.py:170,298``)."""
     if isinstance(obs, TitsiasObs):
-        if not isinstance(f, GP):
-            raise NotImplementedError(
-                "Sparse conditioning of a non-prior GP is not supported."
-            )
         return SparsePosteriorGP(
-            kernel=f.kernel,
+            base=f,
             x_ind=obs.fdd_ind.x,
             Lm=obs.Lm,
             LB=obs.LB,

@@ -226,11 +226,15 @@ class GPAR:
                 logpdf = logpdf + obs.logpdf
 
             if not is_last:
+                # The availability mask is concrete (from the data's NaN
+                # pattern) even when the filled `yi` below becomes traced.
                 missing = _nan_mask_col0(yi)
+                available = ~missing
                 if sample_missing and missing.any():
                     f_post = condition(f, obs)
-                    k = next_key() if key is None else key
-                    if key is not None:
+                    if key is None:
+                        k = next_key()
+                    else:
                         key, k = jax.random.split(key)
                     yi = merge(
                         yi,
@@ -239,8 +243,11 @@ class GPAR:
                         ).sample(k),
                         missing,
                     )
+                    available = np.ones_like(missing)
 
-                x, x_ind = self._update_inputs(x, x_ind, yi, f, obs)
+                x, x_ind = self._update_inputs(
+                    x, x_ind, yi, f, obs, available=available
+                )
 
         return (x, x_ind) if return_inputs else logpdf
 
@@ -309,10 +316,14 @@ class GPAR:
         else:
             return Obs(f(x, noise / w), y)
 
-    def _update_inputs(self, x, x_ind, y, f, obs):
+    def _update_inputs(self, x, x_ind, y, f, obs, available=None):
         """Impute/replace outputs and append them as input columns
-        (``gpar/model.py:291-322``)."""
-        available = ~_nan_mask_col0(y)
+        (``gpar/model.py:291-322``).
+
+        ``available`` (concrete bool mask) may be supplied when ``y`` is
+        traced (the sample_missing path fills NaNs with traced draws)."""
+        if available is None:
+            available = ~_nan_mask_col0(y)
 
         def estimate(x_):
             # Posterior mean if observations are available, else prior mean.

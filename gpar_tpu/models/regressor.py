@@ -462,7 +462,6 @@ class GPARRegressor:
         # jitted XLA program — zero host round-trips per iteration, one
         # compile (persistently cached) per data shape.  ``trace=True`` or
         # ``fused=False`` falls back to the per-layer driver.
-        trace = kw_args.get("trace", False)
         fused = kw_args.pop("fused", True)
         profile_dir = kw_args.pop("profile_dir", None)
         mesh = kw_args.pop("mesh", None)
@@ -479,11 +478,13 @@ class GPARRegressor:
         # single-process, SURVEY.md §2.4).
         mesh_ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
         with ctx, mesh_ctx:
-            return self._fit_inner(
-                y_cached, all_names, fix, fused, trace, **kw_args
-            )
+            return self._fit_inner(y_cached, all_names, fix, fused, **kw_args)
 
-    def _fit_inner(self, y_cached, all_names, fix, fused, trace, **kw_args):
+    def _fit_inner(self, y_cached, all_names, fix, fused, **kw_args):
+        # trace= stays inside kw_args (it belongs to minimise_l_bfgs_b);
+        # it also forces the per-layer driver, whose progress output would
+        # be invisible inside one fused program.
+        trace = kw_args.get("trace", False)
         if fix and fused and not trace:
             self._fit_fixed_fused(
                 y_cached,
@@ -696,12 +697,51 @@ class GPARRegressor:
                 "the logpdf under the posterior."
             )
 
-        gpar = _construct_gpar(self, self.vs, m, p)
+        # One jitted program per (data fingerprint, flags): the NaN mask
+        # plan of `y` is static, hyperparameters and `x` are traced — the
+        # compiled executable is reused across repeated scoring calls on
+        # the same data (e.g. a held-out-likelihood loop) and across
+        # hyperparameter changes.
+        y_np, w_np = np.asarray(y), np.asarray(w)
         if posterior:
-            gpar = gpar | (self.x, self.y, self.w)
-        value = gpar.logpdf(
-            x, y, w, only_last_layer=False, sample_missing=sample_missing, key=key
+            self._ensure_vars(self.p)
+        else:
+            for pi in range(p):
+                _construct_gpar(self, self.vs, m, pi + 1).layers[pi]()
+        names = self.vs.select(None)
+        z = self.vs.latent_vector(names)
+        if sample_missing and key is None:
+            key = next_key()
+
+        def program(z, x, key):
+            view = self.vs.with_latent_vector(names, z)
+            gpar = _construct_gpar(self, view, m, p)
+            if posterior:
+                gpar = gpar | (self.x, self._y_cache, None)
+            return gpar.logpdf(
+                x,
+                y_np,
+                w_np,
+                only_last_layer=False,
+                sample_missing=sample_missing,
+                key=key,
+            )
+
+        cache_key = (
+            "logpdf",
+            posterior,
+            sample_missing,
+            x.shape,
+            p,
+            mesh_descriptor(),
+            _fingerprint(y_np, w_np),
+            self._data_fingerprint if posterior else None,
         )
+        logpdf_fn = self._jit_cache.get(cache_key)
+        if logpdf_fn is None:
+            logpdf_fn = jax.jit(program)
+            self._jit_cache[cache_key] = logpdf_fn
+        value = logpdf_fn(z, x, key)
 
         if not any_jax:
             value = float(value)

@@ -36,6 +36,28 @@ def chain_functions(x, p, seed=0, noise=0.05):
     return f, y
 
 
+def _real_or_none(data_dir, filename):
+    """Path to the real dataset file, or None (-> synthetic fallback).
+
+    The loaders' contract (module docstring) is: real file if present,
+    synthetic stand-in otherwise — including when ``data_dir`` is given
+    but the file is absent (a warning is emitted then, rather than an
+    exception, so every example runs end-to-end offline).
+    """
+    if data_dir is None:
+        return None
+    path = os.path.join(data_dir, filename)
+    if os.path.exists(path):
+        return path
+    import warnings
+
+    warnings.warn(
+        f"{path} not found - falling back to the synthetic stand-in.",
+        stacklevel=3,
+    )
+    return None
+
+
 def _missing(rng, y, frac_per_col):
     y = y.copy()
     n = y.shape[0]
@@ -53,14 +75,11 @@ def load_eeg(data_dir=None, synthetic_seed=0):
     test positions and ``y_test`` has NaNs everywhere else.
     """
     columns = ["F3", "F4", "F5", "F6", "FZ", "F1", "F2"]
-    if data_dir is not None:
-        path = os.path.join(data_dir, "eeg.csv")
-        if os.path.exists(path):
-            raw = np.genfromtxt(path, delimiter=",", names=True)
-            x = raw["time"]
-            y = np.stack([raw[c] for c in columns], axis=1)
-        else:
-            raise FileNotFoundError(path)
+    path = _real_or_none(data_dir, "eeg.csv")
+    if path is not None:
+        raw = np.genfromtxt(path, delimiter=",", names=True)
+        x = raw["time"]
+        y = np.stack([raw[c] for c in columns], axis=1)
     else:
         rng = np.random.default_rng(synthetic_seed)
         n = 256
@@ -92,8 +111,8 @@ def load_exchange(data_dir=None, synthetic_seed=0):
         "USD/NZD", "USD/SEK", "USD/SGD", "USD/AUD", "USD/CAD", "USD/JPY",
         "USD/XAU",
     ]
-    if data_dir is not None:
-        path = os.path.join(data_dir, "exchange.csv")
+    path = _real_or_none(data_dir, "exchange.csv")
+    if path is not None:
         raw = np.genfromtxt(path, delimiter=",", names=True)
         x = raw["year"]
         y = np.stack([raw[c.replace("/", "_")] for c in columns], axis=1)
@@ -133,8 +152,8 @@ def load_jura(data_dir=None, synthetic_seed=0):
     Returns ``(x_train, y_train, x_test, y_test, columns)``.
     """
     columns = ["Ni", "Zn", "Cd"]
-    if data_dir is not None:
-        path = os.path.join(data_dir, "jura.csv")
+    path = _real_or_none(data_dir, "jura.csv")
+    if path is not None:
         raw = np.genfromtxt(path, delimiter=",", names=True)
         x = np.stack([raw["x"], raw["y"]], axis=1)
         y = np.stack([raw[c] for c in columns], axis=1)
@@ -171,8 +190,8 @@ def load_air_temp(data_dir=None, size=0, synthetic_seed=0):
     """
     days = [10, 15, 31][size]
     n = days * 24 * 6  # 10-minute resolution
-    if data_dir is not None:
-        path = os.path.join(data_dir, f"air_temp_{days}.csv")
+    path = _real_or_none(data_dir, f"air_temp_{days}.csv")
+    if path is not None:
         raw = np.genfromtxt(path, delimiter=",", names=True)
         x = raw["day"]
         y = np.stack([raw[c] for c in ["Bra", "Cam", "Chi", "Sot"]], axis=1)
@@ -195,7 +214,10 @@ def load_air_temp(data_dir=None, size=0, synthetic_seed=0):
     y_train = y.copy()
     tests = []
     for k, c in enumerate([2, 3]):
-        rows = (x >= x.max() - (k + 1)) & (x < x.max() - k)
+        # Upper bound inclusive for the final chunk so x == x.max() is
+        # held out rather than leaking into training.
+        upper = x <= x.max() - k if k == 0 else x < x.max() - k
+        rows = (x >= x.max() - (k + 1)) & upper
         y_t = np.full_like(y, np.nan)
         y_t[rows, c] = y[rows, c]
         y_train[rows, c] = np.nan

@@ -145,3 +145,30 @@ def test_empty_observations():
     # Posterior with no data falls back to the prior.
     approx(post.mean(x_test), np.zeros((3, 1)), atol=1e-12)
     approx(post.cov(x_test), np.asarray(f.cov(x_test)), atol=1e-12)
+
+
+def test_pseudo_obs_on_posterior_base_matches_exact():
+    # Titsias on a POSTERIOR base GP with inducing == data equals the
+    # exact posterior logpdf (the posterior-base analogue of the
+    # dense==sparse fixture, reference tests/test_model.py:141-149).
+    from gpar_tpu.gp.core import GP, Obs, PseudoObs, condition
+
+    n = 14
+    x1 = jnp.asarray(np.sort(rng.uniform(0, 4, n))[:, None])
+    y1 = jnp.asarray(np.sin(np.asarray(x1)[:, 0]))
+    x2 = jnp.asarray(np.sort(rng.uniform(0, 4, n))[:, None])
+    y2 = jnp.asarray(np.cos(np.asarray(x2)[:, 0]))
+    noise = jnp.asarray(0.1 + 0.02 * rng.random(n))
+
+    f = GP(EQ())
+    f_post = condition(f, Obs(f(x1, 0.05 * jnp.ones(n)), y1))
+
+    exact = f_post(x2, noise).logpdf(y2)
+    pobs = PseudoObs(f_post(x2), f_post(x2, noise), y2)
+    approx(pobs.logpdf, exact, atol=1e-6)
+
+    # And the resulting sparse posterior's mean at the data matches the
+    # exact doubly-conditioned posterior mean.
+    f2_exact = condition(f_post, Obs(f_post(x2, noise), y2))
+    f2_sparse = condition(f_post, pobs)
+    approx(f2_sparse.mean(x2), f2_exact.mean(x2), atol=1e-5)

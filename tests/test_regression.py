@@ -393,3 +393,37 @@ def test_last_fit_report_both_paths(xw):
     reg2.fit(x, y, w, iters=5, fused=False)  # per-layer driver
     rep2 = reg2.last_fit_report
     assert not rep2["fused"] and rep2["layer_nll"].shape == (2,)
+
+
+def test_fit_trace_kwarg():
+    # Regression: fit(trace=True) crashed with 'multiple values for trace'.
+    x = np.linspace(0, 3, 10)
+    y = rng.standard_normal((10, 2))
+    reg = GPARRegressor(noise=0.1, normalise_y=False)
+    reg.fit(x, y, iters=3, trace=True)
+    assert reg.last_fit_report is not None
+
+
+def test_sparse_posterior_logpdf_and_sample_missing():
+    # Regression: posterior logpdf on a sparse (inducing-point) model
+    # raised NotImplementedError; the reference supports it
+    # (gpar/regression.py:461-506 with x_ind set).
+    x = np.linspace(0, 6, 24)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1)
+    x_ind = np.linspace(0, 6, 8)
+    reg = GPARRegressor(noise=0.05, x_ind=x_ind, normalise_y=False,
+                        impute=False)
+    reg.condition(x, y)
+    lp_post = reg.logpdf(x, y, posterior=True)
+    lp_prior = reg.logpdf(x, y)
+    assert np.isfinite(lp_post) and np.isfinite(lp_prior)
+    # Conditioning on the data must raise its (approximate) likelihood.
+    assert lp_post > lp_prior
+
+    # sample_missing on the conditioned sparse model exercises the same
+    # posterior-base PseudoObs path.
+    y_miss = y.copy()
+    y_miss[::3, 0] = np.nan
+    v = reg.logpdf(x, y_miss, sample_missing=True, posterior=True,
+                   key=jax.random.PRNGKey(0))
+    assert np.isfinite(v)
