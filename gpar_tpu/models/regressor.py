@@ -23,7 +23,7 @@ from ..config import default_dtype, mesh_descriptor, use_mesh
 from ..params.optim import lbfgs_traced, minimise_l_bfgs_b
 from ..params.store import Vars
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel
-from ..gp.core import GP
+from ..gp.core import GP, Obs, PseudoObs
 from ..utils.rng import next_key
 from .gpar import GPAR, per_output
 
@@ -351,6 +351,25 @@ class GPARRegressor:
         self._unnormalise_y, self._normalise_y = lambda x: x, lambda x: x
         self._transform_y, self._untransform_y = transform_y
 
+        #: Greedy output ordering (original-output index per layer), set by
+        #: ``fit(greedy=True)`` with ``compat=False``; ``None`` = identity.
+        #: Layer ``pi`` models output ``order[pi]``; user-facing inputs and
+        #: outputs stay in the original column order.
+        self.order = None
+
+    def _permute_outputs(self, a):
+        """Original column order -> internal (greedy) layer order."""
+        if a is None or self.order is None or a.shape[1] != len(self.order):
+            return a
+        return a[:, np.asarray(self.order)]
+
+    def _unpermute_outputs(self, a):
+        """Internal (greedy) layer order -> original column order; applies
+        to the last axis (sample batches are (s, n, p))."""
+        if a is None or self.order is None or a.shape[-1] != len(self.order):
+            return a
+        return a[..., np.argsort(np.asarray(self.order))]
+
     def _ensure_vars(self, p):
         """Instantiate every layer's variables once per (m, p).
 
@@ -374,9 +393,20 @@ class GPARRegressor:
 
     def condition(self, x, y, w=None):
         """Condition the model on data without training
-        (``gpar/regression.py:339-389``)."""
+        (``gpar/regression.py:339-389``).
+
+        If a greedy output ordering was determined (:meth:`fit` with
+        ``greedy=True`` and ``compat=False``), the output columns are
+        permuted internally so layer ``pi`` models output
+        ``self.order[pi]``; all user-facing results come back in the
+        original column order.
+        """
         self.x = _uprank(_to_jnp(x))
-        self.y = self._transform_y(_uprank(_to_jnp(y)))
+        y = _uprank(_to_jnp(y))
+        y = self._permute_outputs(y)
+        if w is not None:
+            w = self._permute_outputs(_uprank(_to_jnp(w)))
+        self.y = self._transform_y(y)
         self.w = _init_weights(w, self.y)
         self.n, self.m = self.x.shape
         self.p = self.y.shape[1]
@@ -437,16 +467,31 @@ class GPARRegressor:
         (e.g. ``iters=``, ``trace=``).
 
         Args:
-            greedy (bool): Greedily order the outputs (not implemented, as
-                in the reference, ``gpar/regression.py:410``).
+            greedy (bool): Greedily order the outputs by conditional
+                marginal likelihood before fitting.  The reference
+                documents this option but raises NotImplementedError
+                (``gpar/regression.py:410,448``); ``compat=True`` (default)
+                matches that literally, ``compat=False`` implements the
+                search (see :meth:`_greedy_order`).  The resulting
+                permutation is stored in ``self.order``; all user-facing
+                columns stay in the original order.
             fix (bool): Fix the parameters of a layer after training it; the
                 fast path precomputes the previous layers' augmented inputs
                 once per layer (``gpar/regression.py:423-432``).
         """
-        self.condition(x, y, w)
-
         if greedy:
-            raise NotImplementedError("Greedy search is not implemented yet.")
+            if self.compat:
+                # Reference parity (``gpar/regression.py:448-449``).
+                raise NotImplementedError("Greedy search is not implemented yet.")
+            self.order = None
+            self.condition(x, y, w)  # identity order: transforms + stats
+            self.order = self._greedy_order(
+                iters=kw_args.get("iters", 100),
+                gtol=kw_args.get("gtol", 1e-9),
+                memory_size=kw_args.get("memory_size", 10),
+            )
+
+        self.condition(x, y, w)
 
         # The precomputed `per_output` plan for both values of `keep`
         # (``gpar/regression.py:412-414``), built by condition().
@@ -479,6 +524,111 @@ class GPARRegressor:
         mesh_ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
         with ctx, mesh_ctx:
             return self._fit_inner(y_cached, all_names, fix, fused, **kw_args)
+
+    def _greedy_order(self, iters=100, gtol=1e-9, memory_size=10):
+        """Greedily order the outputs by conditional marginal likelihood.
+
+        Implements the search the reference documents but stubs out
+        (``gpar/regression.py:410,448``; the GPAR paper, arXiv:1802.07182,
+        proposes ordering outputs greedily by maximising the marginal
+        likelihood).  At position ``k`` with outputs ``S`` already selected,
+        each remaining candidate ``o`` is scored by the *per-observation*
+        optimised log marginal likelihood of a single layer-``k`` GP mapping
+        ``[x, y[:, S]] -> y[:, o]`` on the rows where ``o`` and all of ``S``
+        are observed (the closed-downwards requirement); the per-observation
+        normalisation keeps candidates with different missingness patterns
+        comparable.  The sparse (Titsias) scheme and the Markov order are
+        honoured.  Requires :meth:`condition` to have run with identity
+        ordering.
+
+        Returns:
+            np.ndarray: permutation; layer ``pi`` models output ``ret[pi]``.
+        """
+        y_np = np.asarray(self.y)  # transformed + normalised
+        w_np = np.asarray(self.w)
+        x_np = np.asarray(self.x)
+        remaining = list(range(self.p))
+        selected = []
+        for position in range(self.p):
+            best_o, best_score = remaining[0], -np.inf
+            for o in remaining:
+                obs_mask = ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
+                n_obs = int(obs_mask.sum())
+                if n_obs == 0:
+                    continue
+                x_aug = np.concatenate(
+                    [x_np[obs_mask], y_np[obs_mask][:, selected]], axis=1
+                )
+                nll = self._greedy_layer_nll(
+                    position,
+                    x_aug,
+                    y_np[obs_mask, o],
+                    w_np[obs_mask, o],
+                    iters,
+                    gtol,
+                    memory_size,
+                )
+                score = -nll / n_obs
+                if score > best_score:
+                    best_o, best_score = o, score
+            selected.append(best_o)
+            remaining.remove(best_o)
+        return np.asarray(selected)
+
+    def _greedy_layer_nll(self, pi, x_aug, y_t, w_t, iters, gtol, memory_size):
+        """Optimised single-layer NLL for one greedy candidate.
+
+        A fresh throwaway variable store per candidate (identical inits, so
+        scores are comparable); the whole L-BFGS runs as one jitted program
+        with the candidate data as *traced* arguments, so one compile per
+        (rows, columns) shape serves every candidate at that position.
+        """
+        vs = Vars()
+        _model_generator(vs, self.m, pi, **self.model_config)()
+        names = vs.select(None)
+        z0 = vs.latent_vector(names)
+        dtype = self.x.dtype
+
+        cache_key = ("greedy_nll", pi, x_aug.shape, iters, gtol, memory_size)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            sparse, x_ind = self.sparse, self.x_ind
+
+            def program(z0, x_aug, y_t, w_t):
+                def obj(z):
+                    view = vs.with_latent_vector(names, z)
+                    f, noise = _model_generator(
+                        view, self.m, pi, **self.model_config
+                    )()
+                    if sparse:
+                        # Inducing inputs augmented with the prior-mean
+                        # (zero) estimate of the selected outputs — the
+                        # obs=None branch of `_update_inputs`
+                        # (``gpar/model.py:291-305``).
+                        z_aug = jnp.concatenate(
+                            [x_ind, jnp.zeros((x_ind.shape[0], pi), dtype=x_ind.dtype)],
+                            axis=1,
+                        )
+                        obs = PseudoObs(f(z_aug), f(x_aug, noise / w_t), y_t)
+                    else:
+                        obs = Obs(f(x_aug, noise / w_t), y_t)
+                    return -obs.logpdf
+
+                _, nll, _ = lbfgs_traced(
+                    obj, z0, iters=iters, gtol=gtol, memory_size=memory_size
+                )
+                return nll
+
+            fn = jax.jit(program)
+            self._jit_cache[cache_key] = fn
+        return float(
+            fn(
+                z0,
+                jnp.asarray(x_aug, dtype=dtype),
+                jnp.asarray(y_t, dtype=dtype),
+                jnp.asarray(w_t, dtype=dtype),
+            )
+        )
 
     def _fit_inner(self, y_cached, all_names, fix, fused, **kw_args):
         # trace= stays inside kw_args (it belongs to minimise_l_bfgs_b);
@@ -687,7 +837,10 @@ class GPARRegressor:
         # reproduces it literally; ``compat=False`` applies the intended
         # normalisation.
         renorm = self._unnormalise_y if self.compat else self._normalise_y
-        y = renorm(self._transform_y(_uprank(_to_jnp(y))))
+        y = self._permute_outputs(_uprank(_to_jnp(y)))
+        if w is not None:
+            w = self._permute_outputs(_uprank(_to_jnp(w)))
+        y = renorm(self._transform_y(y))
         w = _init_weights(w, y)
         m, p = x.shape[1], y.shape[1]
 
@@ -796,7 +949,7 @@ class GPARRegressor:
                 (x.shape[0], self.p if posterior else p), dtype=x.dtype
             )
         else:
-            w = _uprank(_to_jnp(w))
+            w = self._permute_outputs(_uprank(_to_jnp(w)))
 
         def undo_transforms(y_):
             return self._untransform_y(self._unnormalise_y(y_))
@@ -888,6 +1041,8 @@ class GPARRegressor:
             self._jit_cache[cache_key] = sample_fn
         batch = sample_fn(z, x_data, x, w, keys)
         batch = np.asarray(undo_transforms(batch))[:num_samples]
+        # Greedy-ordered layers -> original output columns.
+        batch = self._unpermute_outputs(batch)
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
 

@@ -44,6 +44,8 @@ def state_dict(reg):
         "data": data_state,
         # Normaliser statistics (the closures are reconstructed on load).
         "norm_stats": getattr(reg, "_norm_stats", None),
+        # Greedy output ordering (fit(greedy=True), compat=False).
+        "order": None if getattr(reg, "order", None) is None else np.asarray(reg.order),
     }
 
 
@@ -92,6 +94,9 @@ def load_state_dict(state, transform_y=None):
     )
     if transform_y is not None:
         reg._transform_y, reg._untransform_y = transform_y
+
+    order = state.get("order")
+    reg.order = None if order is None else np.asarray(order)
 
     for name, entry in state["vs"].items():
         reg.vs._transforms[name] = _transform_from_state(entry["transform"])

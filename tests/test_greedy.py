@@ -1,0 +1,97 @@
+"""Greedy output ordering (``fit(greedy=True)``).
+
+The reference documents the option but raises NotImplementedError
+(``gpar/regression.py:410,448``); ``compat=True`` (default) matches that
+literally, ``compat=False`` implements the search (ordering outputs by
+optimised per-observation conditional marginal likelihood, the procedure
+proposed in the GPAR paper).
+"""
+
+import numpy as np
+import pytest
+
+from gpar_tpu import GPARRegressor
+from gpar_tpu.utils import checkpoint
+
+
+def _chain_data(n=40, seed=0):
+    """col 1 is a smooth function of x; col 0 is white noise (unpredictable).
+
+    A greedy likelihood search must select the smooth column first: after
+    normalisation its optimised per-point density is far higher than the
+    white-noise column's (which can do no better than a unit-variance
+    noise model)."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 10.0, n)
+    smooth = np.sin(x) + 0.05 * rng.standard_normal(n)
+    noise = rng.standard_normal(n)
+    return x, np.stack([noise, smooth], axis=1)
+
+
+def test_greedy_compat_raises():
+    # Reference parity: ``gpar/regression.py:448-449``.
+    x, y = _chain_data()
+    reg = GPARRegressor(noise=0.1)
+    with pytest.raises(NotImplementedError):
+        reg.fit(x, y, greedy=True)
+
+
+def test_greedy_picks_predictable_output_first():
+    x, y = _chain_data()
+    reg = GPARRegressor(noise=0.1, compat=False)
+    reg.fit(x, y, greedy=True, iters=30)
+    assert reg.order is not None
+    assert sorted(reg.order.tolist()) == [0, 1]
+    assert reg.order[0] == 1  # the smooth column leads the chain
+
+
+def test_greedy_outputs_in_original_column_order():
+    # Distinct per-column offsets expose any column mix-up at the API
+    # boundary: predictions must match the data column-for-column.
+    x, y = _chain_data()
+    y_off = y + np.array([[100.0, -100.0]])
+    reg = GPARRegressor(noise=0.1, compat=False)
+    reg.fit(x, y_off, greedy=True, iters=30)
+    assert reg.order[0] == 1
+
+    mean = reg.predict(x, num_samples=50)
+    assert mean.shape == y_off.shape
+    # The smooth column must be reproduced closely, in its original slot.
+    assert np.sqrt(np.mean((mean[:, 1] - y_off[:, 1]) ** 2)) < 0.3
+    assert abs(np.mean(mean[:, 0]) - 100.0) < 2.0
+    assert abs(np.mean(mean[:, 1]) + 100.0) < 2.0
+
+    # logpdf permutes the incoming y consistently (finite, and invariant to
+    # the caller's column order convention being the original one).
+    lp = reg.logpdf(x, y_off, posterior=True)
+    assert np.isfinite(lp)
+
+    # Samples come back in the original order too.
+    s = reg.sample(x, posterior=True, num_samples=2)
+    assert s[0].shape == y_off.shape
+    assert abs(np.mean(s[0][:, 0]) - 100.0) < 5.0
+
+
+def test_greedy_sparse_scorer():
+    # The candidate scorer honours the inducing-point (Titsias) scheme.
+    x, y = _chain_data()
+    x_ind = np.linspace(0.0, 10.0, 10)
+    reg = GPARRegressor(noise=0.1, x_ind=x_ind, compat=False)
+    reg.fit(x, y, greedy=True, iters=20)
+    assert sorted(reg.order.tolist()) == [0, 1]
+    mean = reg.predict(x, num_samples=20)
+    assert np.isfinite(mean).all()
+
+
+def test_greedy_order_checkpoint_roundtrip(tmp_path):
+    x, y = _chain_data()
+    reg = GPARRegressor(noise=0.1, compat=False)
+    reg.fit(x, y, greedy=True, iters=30)
+    path = tmp_path / "greedy.ckpt"
+    checkpoint.save(reg, path)
+    reg2 = checkpoint.load(path)
+    assert reg2.order is not None
+    assert reg2.order.tolist() == reg.order.tolist()
+    m1 = reg.predict(x, num_samples=20, key=__import__("jax").random.PRNGKey(0))
+    m2 = reg2.predict(x, num_samples=20, key=__import__("jax").random.PRNGKey(0))
+    np.testing.assert_allclose(m1, m2, atol=1e-8)
