@@ -109,6 +109,18 @@ class _Config:
         #: Minimum n*m size for the fused Gram to engage (small problems
         #: are dominated by launch overhead).
         self.pallas_gram_min_size = 262144
+        #: Blocked (triangle-aware right-looking) Cholesky for large dense
+        #: factorisations: ``None`` = auto (TPU backend and
+        #: n >= ``blocked_cholesky_min``), True/False force it on/off.
+        #: Measured on v5e at f32-highest: 2.27 ms vs builtin 2.55 ms at
+        #: n=4096, 10.95 vs 12.27 ms at n=8192 (51% vs 45% of the 6-pass
+        #: f32 MXU roofline); parity at n=16384; builtin wins below 4096.
+        self.use_blocked_cholesky = None
+        #: Minimum matrix size for the blocked Cholesky to engage.
+        self.blocked_cholesky_min = 4096
+        #: Panel width (multiple of the 512 MXU-friendly tile; measured
+        #: best at n=4k-16k).
+        self.blocked_cholesky_block = 512
         #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
         #: one axis, or None).  When set, the sparse (Titsias) training
         #: path row-shards its per-layer statistics over the mesh and

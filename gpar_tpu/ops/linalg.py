@@ -13,6 +13,8 @@ factorisation runs when the first succeeds), mirroring the reference's
 reliance on the global ``B.epsilon`` knob (see ``config.epsilon``).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -22,6 +24,7 @@ from ..config import config
 
 __all__ = [
     "add_jitter",
+    "blocked_cholesky",
     "safe_cholesky",
     "solve_lower",
     "solve_chol",
@@ -60,6 +63,99 @@ def add_jitter(K, epsilon=None):
     return K + eps * jnp.eye(n, dtype=K.dtype)
 
 
+def _blocked_cholesky_fwd(K, block):
+    """Right-looking blocked Cholesky, lower triangle, triangle-aware.
+
+    The trailing (syrk) update touches only the block-columns at or below
+    the diagonal, halving its FLOPs versus the naive full-square
+    ``A -= L21 @ L21.T`` — the MXU work then runs within ~7% of a pure
+    f32-highest matmul at n=8192 (see PERF.md).  Requires ``n`` to be a
+    multiple of ``block`` (callers pad; see :func:`blocked_cholesky`).
+    The strict upper triangle of the result is exactly zero (the scatter
+    target starts from zeros and only lower blocks are written).
+    """
+    n = K.shape[-1]
+    nb = n // block
+    L = jnp.zeros_like(K)
+    A = K
+    for j in range(nb):
+        j0 = j * block
+        Ljj = jnp.linalg.cholesky(A[j0 : j0 + block, j0 : j0 + block])
+        L = L.at[j0 : j0 + block, j0 : j0 + block].set(Ljj)
+        if j0 + block < n:
+            A21 = A[j0 + block :, j0 : j0 + block]
+            L21 = solve_triangular(Ljj, A21.T, lower=True).T
+            L = L.at[j0 + block :, j0 : j0 + block].set(L21)
+            for c in range(j + 1, nb):
+                c0 = c * block
+                upd = L21[c0 - j0 - block :, :] @ L21[c0 - j0 - block : c0 - j0, :].T
+                A = A.at[c0:, c0 : c0 + block].add(-upd)
+    return L
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _blocked_cholesky(K, block):
+    return _blocked_cholesky_fwd(K, block)
+
+
+@_blocked_cholesky.defjvp
+def _blocked_cholesky_jvp(block, primals, tangents):
+    # Standard Cholesky differential: for K = L Lᵀ and symmetric dK,
+    # dL = L φ(L⁻¹ dK L⁻ᵀ) with φ(A) = tril(A, -1) + diag(A)/2.  Linear in
+    # dK through constant-L triangular solves, so JAX transposes it for
+    # reverse mode automatically — the backward pass costs two solves and
+    # two matmuls instead of differentiating through every panel.
+    (K,) = primals
+    (dK,) = tangents
+    L = _blocked_cholesky(K, block)
+    Lt = jnp.tril(L)
+    dK = (dK + dK.T) / 2.0
+    tmp = solve_triangular(Lt, dK, lower=True)
+    W = solve_triangular(Lt, tmp.T, lower=True).T
+    phi = jnp.tril(W, -1) + 0.5 * jnp.diag(jnp.diagonal(W))
+    return L, jnp.tril(Lt @ phi)
+
+
+def blocked_cholesky(K, block=None):
+    """Triangle-aware blocked Cholesky of an SPD matrix (lower factor).
+
+    Faster than XLA's builtin factorisation on TPU for n >= ~4096 (see
+    ``config.use_blocked_cholesky`` for measured numbers); exact same
+    semantics (returns NaNs if the matrix is indefinite, so
+    :func:`safe_cholesky`'s retry ladder composes).  ``n`` not divisible
+    by the panel width is handled by factorising ``blockdiag(K, I)`` —
+    block-diagonal inputs have block-diagonal factors, so the top-left
+    slice is exact.  The upper triangle is exactly zero by construction
+    (no ``tril`` pass is spent on it).
+    """
+    if block is None:
+        block = config.blocked_cholesky_block
+    n = K.shape[-1]
+    if n <= block:
+        return jnp.linalg.cholesky(K)
+    pad = (-n) % block
+    if pad:
+        K = jnp.block(
+            [
+                [K, jnp.zeros((n, pad), K.dtype)],
+                [jnp.zeros((pad, n), K.dtype), jnp.eye(pad, dtype=K.dtype)],
+            ]
+        )
+    L = _blocked_cholesky(K, block)
+    return L[:n, :n] if pad else L
+
+
+def _dense_cholesky(K):
+    """Dispatch: blocked panels on TPU at large n, XLA builtin otherwise."""
+    use = config.use_blocked_cholesky
+    if use is None:
+        use = (
+            jax.default_backend() == "tpu"
+            and K.shape[-1] >= config.blocked_cholesky_min
+        )
+    return blocked_cholesky(K) if use else jnp.linalg.cholesky(K)
+
+
 def safe_cholesky(K, epsilon=None):
     """Cholesky with escalating-jitter retries.
 
@@ -74,7 +170,7 @@ def safe_cholesky(K, epsilon=None):
     eye = jnp.eye(n, dtype=K.dtype)
 
     def attempt(e):
-        return jnp.linalg.cholesky(K + e * eye)
+        return _dense_cholesky(K + e * eye)
 
     L = attempt(eps)
     for factor in config.cholesky_retry_factors:

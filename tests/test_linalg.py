@@ -7,6 +7,7 @@ import numpy as np
 from gpar_tpu.config import config
 from gpar_tpu.ops import (
     EQ,
+    add_jitter,
     gram,
     kdiag,
     mvn_logpdf,
@@ -210,3 +211,65 @@ def test_psd_sample_factor_indefinite():
     assert w_hat.min() >= 0
     # Positive part of the spectrum is preserved.
     approx(np.sort(w_hat)[5:], np.sort(w)[5:], atol=1e-8)
+
+
+def test_blocked_cholesky_matches_builtin():
+    from gpar_tpu.ops.linalg import blocked_cholesky
+
+    # Exact-multiple and padded (n % block != 0) paths.
+    for n, b in [(128, 32), (100, 32), (96, 96), (50, 64)]:
+        K = jnp.asarray(_spd(n))
+        L = blocked_cholesky(K, block=b)
+        approx(L, jnp.linalg.cholesky(K), atol=1e-8)
+
+
+def test_blocked_cholesky_grad_matches_builtin():
+    from gpar_tpu.ops.linalg import blocked_cholesky
+
+    n, b = 96, 32
+    A = rng.normal(size=(n, n))
+
+    def make_K(a):
+        return a @ a.T + n * jnp.eye(n)
+
+    def loss_blocked(a):
+        L = blocked_cholesky(make_K(a), block=b)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L**2)
+
+    def loss_builtin(a):
+        L = jnp.linalg.cholesky(make_K(a))
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L**2)
+
+    g1 = jax.grad(loss_blocked)(jnp.asarray(A))
+    g2 = jax.grad(loss_builtin)(jnp.asarray(A))
+    approx(g1, g2, atol=1e-8)
+
+
+def test_blocked_cholesky_in_safe_cholesky_retry_ladder():
+    from gpar_tpu.ops.linalg import blocked_cholesky
+
+    # NaN propagation: an indefinite matrix must yield NaNs (not an
+    # exception) so safe_cholesky's lax.cond retry ladder composes.
+    n = 64
+    K = jnp.asarray(_spd(n) - 3 * n * np.eye(n))  # indefinite
+    L = blocked_cholesky(K, block=32)
+    assert not bool(jnp.all(jnp.isfinite(L)))
+
+    old = config.use_blocked_cholesky, config.blocked_cholesky_min, config.blocked_cholesky_block
+    config.use_blocked_cholesky = True
+    config.blocked_cholesky_min = 32
+    config.blocked_cholesky_block = 32
+    try:
+        spd = jnp.asarray(_spd(96))
+        approx(safe_cholesky(spd), jnp.linalg.cholesky(add_jitter(spd)), atol=1e-8)
+        # Slightly indefinite input (rank-1 minus tiny): the escalating
+        # ladder still returns a finite factor through the blocked path.
+        v = rng.normal(size=(96, 1))
+        bad = jnp.asarray(v @ v.T - 1e-9 * np.eye(96))
+        assert bool(jnp.all(jnp.isfinite(safe_cholesky(bad))))
+    finally:
+        (
+            config.use_blocked_cholesky,
+            config.blocked_cholesky_min,
+            config.blocked_cholesky_block,
+        ) = old
