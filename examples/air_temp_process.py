@@ -64,13 +64,15 @@ if __name__ == "__main__":
             ):
                 ax = plt.subplot(2, 3, d_size + i * 3 + 1)
                 xi = np.arange(mean.shape[0])
-                ax.plot(xi, mean[:, -1], label="GPAR mean")
+                # Plot the held-out output of this chunk (y_t is NaN
+                # everywhere else — the loader's test contract).
+                y_t = np.asarray(y_t)
+                c = int(np.flatnonzero(~np.isnan(y_t).all(axis=0))[0])
+                ax.plot(xi, mean[:, c], label="GPAR mean")
                 ax.fill_between(
-                    xi, lowers[:, -1], uppers[:, -1], alpha=0.25, label="95%"
+                    xi, lowers[:, c], uppers[:, c], alpha=0.25, label="95%"
                 )
-                ax.scatter(
-                    xi, np.asarray(y_t)[:, -1], s=4, c="k", label="truth"
-                )
+                ax.scatter(xi, y_t[:, c], s=4, c="k", label="truth")
                 ax.set_title(f"{LOOKUP_SIZE[d_size]} / chunk {i}")
 
     if not found:

@@ -43,7 +43,7 @@ from ..ops.linalg import (
     safe_cholesky,
     solve_chol,
     solve_lower,
-    titsias_elbo,
+    titsias_factors,
 )
 
 __all__ = [
@@ -364,29 +364,11 @@ def PseudoObs(fdd_ind, fdd, y):
             fdd_ind=fdd_ind, fdd=fdd, y=y, Lm=Lm, LB=LB, beta=beta, elbo=elbo
         )
 
-    Kmm = f.cov(z)
-    Kmn = f.cov(z, x)
-    knn_diag = f.cov_diag(x)
-    r = y - f.mean_vec(x)
-
-    # One factorisation pass shared by the ELBO and the posterior factors.
-    m = z.shape[0]
-    n = x.shape[0]
-    d_isqrt = 1.0 / jnp.sqrt(noise)
-    Lm = safe_cholesky(Kmm)
-    A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
-    LB = jnp.linalg.cholesky(A @ A.T + jnp.eye(m, dtype=A.dtype))
-    u = A @ (r * d_isqrt)
-    c = solve_lower(LB, u)
-    # Collapsed ELBO: log N(y | mean, Qnn + D) - 0.5 tr(D^{-1}(Knn - Qnn)).
-    logdet = jnp.sum(jnp.log(noise)) + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
-    quad = jnp.sum(r * r / noise) - jnp.sum(c * c)
-    lognorm = -0.5 * (n * LOG_2PI + logdet + quad)
-    trace = -0.5 * (jnp.sum(knn_diag / noise) - jnp.sum(A * A))
-    elbo = lognorm + trace
-    # beta = Sigma_B^{-1} Kmn D^{-1} r with Sigma_B = Kmm + Kmn D^{-1} Knm
-    #      = Lm^{-T} (LB LB^T)^{-1} u
-    beta = solve_triangular(Lm, solve_chol(LB, u), lower=True, trans=1)
+    # One factorisation pass shared by the ELBO and the posterior factors
+    # (the single source of the Titsias math — ops/linalg.py).
+    elbo, Lm, LB, beta = titsias_factors(
+        f.cov(z), f.cov(z, x), f.cov_diag(x), y, f.mean_vec(x), noise
+    )
     return TitsiasObs(
         fdd_ind=fdd_ind, fdd=fdd, y=y, Lm=Lm, LB=LB, beta=beta, elbo=elbo
     )

@@ -233,6 +233,15 @@ class GPAR:
                 if sample_missing and missing.any():
                     f_post = condition(f, obs)
                     if key is None:
+                        if isinstance(x, jax.core.Tracer):
+                            # next_key() here would be captured as a
+                            # trace-time constant: every call of the
+                            # user's compiled function would reuse the
+                            # identical "random" draw.
+                            raise ValueError(
+                                "GPAR.logpdf(sample_missing=True) under "
+                                "jit requires an explicit key= argument."
+                            )
                         k = next_key()
                     else:
                         key, k = jax.random.split(key)

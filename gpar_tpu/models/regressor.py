@@ -358,16 +358,34 @@ class GPARRegressor:
         self.order = None
 
     def _permute_outputs(self, a):
-        """Original column order -> internal (greedy) layer order."""
-        if a is None or self.order is None or a.shape[1] != len(self.order):
+        """Original column order -> internal (greedy) layer order.
+
+        With a greedy ordering in effect the binding between output
+        columns and layers is only defined for the full set of fitted
+        outputs — a different column count would silently bind columns to
+        the wrong layers, so it raises instead."""
+        if a is None or self.order is None:
             return a
+        if a.shape[1] != len(self.order):
+            raise ValueError(
+                f"A greedy output ordering over {len(self.order)} outputs "
+                f"is in effect; data with {a.shape[1]} output columns "
+                "cannot be matched to layers. Pass all fitted outputs, or "
+                "clear `self.order`."
+            )
         return a[:, np.asarray(self.order)]
 
     def _unpermute_outputs(self, a):
         """Internal (greedy) layer order -> original column order; applies
         to the last axis (sample batches are (s, n, p))."""
-        if a is None or self.order is None or a.shape[-1] != len(self.order):
+        if a is None or self.order is None:
             return a
+        if a.shape[-1] != len(self.order):
+            raise ValueError(
+                f"A greedy output ordering over {len(self.order)} outputs "
+                f"is in effect; cannot relabel {a.shape[-1]} sampled "
+                "columns."
+            )
         return a[..., np.argsort(np.asarray(self.order))]
 
     def _ensure_vars(self, p):
@@ -635,13 +653,26 @@ class GPARRegressor:
         # it also forces the per-layer driver, whose progress output would
         # be invisible inside one fused program.
         trace = kw_args.get("trace", False)
-        if fix and fused and not trace:
+        if fix and fused and not trace and kw_args.get("jit", True):
+            iters = kw_args.pop("iters", 1000)
+            gtol = kw_args.pop("gtol", 1e-9)
+            memory_size = kw_args.pop("memory_size", 10)
+            kw_args.pop("trace", None)
+            kw_args.pop("jit", None)
+            if kw_args:
+                # The per-layer driver would raise TypeError on unknown
+                # options; silently dropping them here would be an
+                # inconsistent contract (and hide typos like `itres=`).
+                raise TypeError(
+                    "Unsupported fit() options: "
+                    + ", ".join(sorted(kw_args))
+                )
             self._fit_fixed_fused(
                 y_cached,
                 all_names,
-                iters=kw_args.pop("iters", 1000),
-                gtol=kw_args.pop("gtol", 1e-9),
-                memory_size=kw_args.pop("memory_size", 10),
+                iters=iters,
+                gtol=gtol,
+                memory_size=memory_size,
             )
             return
 
@@ -667,7 +698,19 @@ class GPARRegressor:
                         return_inputs=True,
                     )
 
-                fixed_x, fixed_x_ind = jax.jit(_precompute)(
+                cache_key = (
+                    "fit_precompute",
+                    pi,
+                    self.n,
+                    self.m,
+                    mesh_descriptor(),
+                    self._data_fingerprint,
+                )
+                precompute_fn = self._jit_cache.get(cache_key)
+                if precompute_fn is None:
+                    precompute_fn = jax.jit(_precompute)
+                    self._jit_cache[cache_key] = precompute_fn
+                fixed_x, fixed_x_ind = precompute_fn(
                     self.vs.latent_vector(all_names), self.x
                 )
 

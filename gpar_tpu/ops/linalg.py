@@ -31,6 +31,7 @@ __all__ = [
     "mvn_logpdf",
     "mvn_logpdf_chol",
     "titsias_elbo",
+    "titsias_factors",
     "psd_sample_factor",
     "LOG_2PI",
 ]
@@ -286,10 +287,28 @@ def titsias_elbo(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
     Returns:
         Scalar ELBO.
     """
+    if y.shape[0] == 0:
+        return jnp.zeros((), dtype=y.dtype)
+    return titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon)[0]
+
+
+def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
+    """Collapsed Titsias ELBO *and* the sparse-posterior factors from one
+    factorisation pass.
+
+    The single source of the Titsias math: :func:`titsias_elbo` and the
+    GP core's ``PseudoObs`` (``gp/core.py``) both delegate here, so the
+    ELBO and the posterior can never drift apart.
+
+    Returns:
+        ``(elbo, Lm, LB, beta)`` with ``Lm = chol(Kmm)``,
+        ``LB = chol(I + Lm^{-1} Kmn D^{-1} Knm Lm^{-T})`` and
+        ``beta = Sigma_B^{-1} Kmn D^{-1} r`` where
+        ``Sigma_B = Kmm + Kmn D^{-1} Knm`` — the quantities the sparse
+        posterior mean/covariance are built from.
+    """
     n = y.shape[0]
     m = Kmm.shape[0]
-    if n == 0:
-        return jnp.zeros((), dtype=y.dtype)
     r = y - mean
     d_isqrt = 1.0 / jnp.sqrt(noise_diag)
 
@@ -298,8 +317,9 @@ def titsias_elbo(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
     A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
     B = A @ A.T + jnp.eye(m, dtype=A.dtype)
     LB = jnp.linalg.cholesky(B)
+    u = A @ (r * d_isqrt)
     # c = LB^{-1} A (r / sqrt(D))
-    c = solve_lower(LB, A @ (r * d_isqrt))
+    c = solve_lower(LB, u)
 
     logdet = jnp.sum(jnp.log(noise_diag)) + 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(LB))
@@ -310,4 +330,6 @@ def titsias_elbo(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
     # trace term: -1/2 sum_i (k_nn,i - q_nn,i) / d_i; note q_nn,i / d_i is
     # the i-th column sum of A^2.
     trace = -0.5 * (jnp.sum(knn_diag / noise_diag) - jnp.sum(A * A))
-    return lognorm + trace
+
+    beta = solve_triangular(Lm, solve_chol(LB, u), lower=True, trans=1)
+    return lognorm + trace, Lm, LB, beta

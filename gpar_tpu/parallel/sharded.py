@@ -81,7 +81,10 @@ def _local_titsias_stats(kernel, z, Lm, x, y, mean, noise_diag, mask, axis):
 
 
 def _titsias_finish(G, b, logdet_d, quad_diag, trace_knn, n_total, m, dtype):
-    """Replicated O(m^3) tail of the collapsed ELBO given global stats."""
+    """Replicated O(m^3) tail of the collapsed ELBO given global stats.
+
+    Returns ``(elbo, LB, c)`` so factor-returning callers reuse the one
+    factorisation instead of re-running it."""
     B = G + jnp.eye(m, dtype=dtype)
     LB = jnp.linalg.cholesky(B)
     c = solve_lower(LB, b)
@@ -89,7 +92,7 @@ def _titsias_finish(G, b, logdet_d, quad_diag, trace_knn, n_total, m, dtype):
     quad = quad_diag - jnp.sum(c * c)
     lognorm = -0.5 * (n_total * LOG_2PI + logdet + quad)
     trace = -0.5 * (trace_knn - jnp.trace(G))
-    return lognorm + trace
+    return lognorm + trace, LB, c
 
 
 def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
@@ -117,7 +120,7 @@ def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
         stats = _local_titsias_stats(
             kernel, z, Lm, x, y, jnp.zeros_like(y), noise_diag, mask, axis
         )
-        return _titsias_finish(*stats, m=m, dtype=dtype)
+        return _titsias_finish(*stats, m=m, dtype=dtype)[0]
 
     fn = jax.shard_map(
         local,
@@ -160,18 +163,20 @@ def sharded_titsias_factors(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
     G, b, logdet_d, quad_diag, trace_knn, n_total = stats_fn(
         kernel, z, Lm, x, y, noise_diag, mask
     )
-    elbo = _titsias_finish(
+    elbo, LB, c = _titsias_finish(
         G, b, logdet_d, quad_diag, trace_knn, n_total, m=m, dtype=dtype
     )
-    LB = jnp.linalg.cholesky(G + jnp.eye(m, dtype=dtype))
     # beta = Lm^{-T} (LB LB^T)^{-1} b  (identical to the single-device
-    # factorisation in gp/core.py:PseudoObs, with b == u).
+    # factorisation in ops/linalg.py:titsias_factors, with b == u and
+    # c == LB^{-1} b already computed by the finish).
     from jax.scipy.linalg import solve_triangular
 
-    c = solve_triangular(
-        LB, solve_triangular(LB, b, lower=True), lower=True, trans=1
+    beta = solve_triangular(
+        Lm,
+        solve_triangular(LB, c, lower=True, trans=1),
+        lower=True,
+        trans=1,
     )
-    beta = solve_triangular(Lm, c, lower=True, trans=1)
     return elbo, Lm, LB, beta
 
 

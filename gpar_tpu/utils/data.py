@@ -58,15 +58,6 @@ def _real_or_none(data_dir, filename):
     return None
 
 
-def _missing(rng, y, frac_per_col):
-    y = y.copy()
-    n = y.shape[0]
-    for i, frac in enumerate(frac_per_col):
-        drop = rng.permutation(n)[: int(round(frac * n))]
-        y[drop, i] = np.nan
-    return y
-
-
 def load_eeg(data_dir=None, synthetic_seed=0):
     """EEG: 7 outputs (FZ, F1..F6), n=256, test = the last 100 samples of
     three of the outputs (structure of ``wbml.data.eeg``).
@@ -171,13 +162,12 @@ def load_jura(data_dir=None, synthetic_seed=0):
     n_test = 100
     rng = np.random.default_rng(12345)
     test_rows = rng.permutation(n)[:n_test]
-    train_mask = np.ones(n, dtype=bool)
     # Cd is missing at the test locations but Ni/Zn stay observed there.
     y_train = y.copy()
     y_train[test_rows, columns.index("Cd")] = np.nan
     x_test = x[test_rows]
     y_test = y[test_rows]
-    return x[train_mask], y_train[train_mask], x_test, y_test, columns
+    return x, y_train, x_test, y_test, columns
 
 
 def load_air_temp(data_dir=None, size=0, synthetic_seed=0):
@@ -218,8 +208,11 @@ def load_air_temp(data_dir=None, size=0, synthetic_seed=0):
         # held out rather than leaking into training.
         upper = x <= x.max() - k if k == 0 else x < x.max() - k
         rows = (x >= x.max() - (k + 1)) & upper
+        # Same contract as load_eeg/load_exchange: y_test is NaN except at
+        # the held-out entries, so NaN-aware metrics score only the
+        # genuinely held-out output (not columns that were in training).
         y_t = np.full_like(y, np.nan)
         y_t[rows, c] = y[rows, c]
         y_train[rows, c] = np.nan
-        tests.append((x[rows], y[rows][:, :]))
+        tests.append((x[rows], y_t[rows]))
     return x, x, y_train, tests
