@@ -95,3 +95,16 @@ def test_greedy_order_checkpoint_roundtrip(tmp_path):
     m1 = reg.predict(x, num_samples=20, key=__import__("jax").random.PRNGKey(0))
     m2 = reg2.predict(x, num_samples=20, key=__import__("jax").random.PRNGKey(0))
     np.testing.assert_allclose(m1, m2, atol=1e-8)
+
+
+def test_greedy_order_rejects_mismatched_columns():
+    # A fitted greedy ordering defines the column<->layer binding only for
+    # the full set of outputs; other widths must raise, not silently
+    # mis-bind (condition / logpdf / provided-w paths).
+    x, y = _chain_data()
+    reg = GPARRegressor(noise=0.1, compat=False)
+    reg.fit(x, y, greedy=True, iters=20)
+    with pytest.raises(ValueError, match="greedy output ordering"):
+        reg.logpdf(x, y[:, :1], posterior=True)
+    with pytest.raises(ValueError, match="greedy output ordering"):
+        reg.condition(x, y[:, :1])
