@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import default_dtype, mesh_descriptor, use_mesh
-from ..params.optim import lbfgs_traced, minimise_l_bfgs_b
+from ..params.optim import lbfgs_traced, lbfgs_traced_restarts, minimise_l_bfgs_b
 from ..params.store import Vars
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel
 from ..gp.core import GP, Obs, PseudoObs
@@ -482,7 +482,12 @@ class GPARRegressor:
         """Fit the model to data (``gpar/regression.py:391-459``).
 
         Further keyword arguments go to :func:`minimise_l_bfgs_b`
-        (e.g. ``iters=``, ``trace=``).
+        (e.g. ``iters=``, ``trace=``, and — beyond the reference —
+        ``restarts=k``: each layer's L-BFGS runs from one unperturbed plus
+        ``k - 1`` perturbed inits *in parallel* (one ``vmap``, still a
+        single XLA program on the fused path) and keeps the best optimum;
+        ``restart_scale=`` sets the latent-space perturbation std-dev,
+        ``key=`` makes the perturbations reproducible).
 
         Args:
             greedy (bool): Greedily order the outputs by conditional
@@ -657,6 +662,9 @@ class GPARRegressor:
             iters = kw_args.pop("iters", 1000)
             gtol = kw_args.pop("gtol", 1e-9)
             memory_size = kw_args.pop("memory_size", 10)
+            restarts = kw_args.pop("restarts", 1)
+            restart_scale = kw_args.pop("restart_scale", 1.0)
+            key = kw_args.pop("key", None)
             kw_args.pop("trace", None)
             kw_args.pop("jit", None)
             if kw_args:
@@ -673,6 +681,9 @@ class GPARRegressor:
                 iters=iters,
                 gtol=gtol,
                 memory_size=memory_size,
+                restarts=restarts,
+                restart_scale=restart_scale,
+                key=key,
             )
             return
 
@@ -743,7 +754,17 @@ class GPARRegressor:
             "fused": False,
         }
 
-    def _fit_fixed_fused(self, y_cached, all_names, iters, gtol, memory_size):
+    def _fit_fixed_fused(
+        self,
+        y_cached,
+        all_names,
+        iters,
+        gtol,
+        memory_size,
+        restarts=1,
+        restart_scale=1.0,
+        key=None,
+    ):
         """The whole fix=True fit as one jitted program.
 
         Per layer pi: L-BFGS (``lbfgs_traced``, a lax.while_loop) on
@@ -753,8 +774,20 @@ class GPARRegressor:
         fix=True freezes earlier layers, threading inputs forward is exactly
         equivalent to the reference's full-chain recomputation per layer
         (``gpar/regression.py:423-432``).
+
+        ``restarts > 1`` vmaps each layer's L-BFGS over one unperturbed
+        plus ``restarts - 1`` perturbed inits and keeps the best optimum
+        (:func:`gpar_tpu.params.optim.lbfgs_traced_restarts`) — all inside
+        the same single XLA program.
         """
         p, m = self.p, self.m
+        if restarts > 1 and key is None:
+            key = next_key()
+        layer_keys = (
+            jax.random.split(key, p)
+            if restarts > 1
+            else jnp.zeros((p, 2), dtype=jnp.uint32)
+        )
 
         # Flat-vector index spans per layer (the names=[f"{pi}/*"] filter of
         # ``gpar/regression.py:452-456``, as static gather indices).
@@ -772,7 +805,7 @@ class GPARRegressor:
             ).astype(np.int64)
             layer_idx.append(jnp.asarray(idx))
 
-        def program(z_all, x):
+        def program(z_all, x, layer_keys):
             fixed_x, fixed_x_ind = x, self.x_ind
             layer_nll, layer_iters = [], []
             for pi in range(p):
@@ -791,8 +824,15 @@ class GPARRegressor:
                         x_ind=fixed_x_ind,
                     )
 
-                z_pi_opt, nll_pi, it_pi = lbfgs_traced(
-                    obj, z_all[idx], iters=iters, gtol=gtol, memory_size=memory_size
+                z_pi_opt, nll_pi, it_pi = lbfgs_traced_restarts(
+                    obj,
+                    z_all[idx],
+                    layer_keys[pi],
+                    restarts,
+                    restart_scale=restart_scale,
+                    iters=iters,
+                    gtol=gtol,
+                    memory_size=memory_size,
                 )
                 layer_nll.append(nll_pi)
                 layer_iters.append(it_pi)
@@ -825,6 +865,8 @@ class GPARRegressor:
             iters,
             gtol,
             memory_size,
+            restarts,
+            restart_scale,
             mesh_descriptor(),
             self._data_fingerprint,
         )
@@ -836,7 +878,7 @@ class GPARRegressor:
 
         t0 = _time.time()
         z_final, layer_nll, layer_iters = fit_fn(
-            self.vs.latent_vector(all_names), self.x
+            self.vs.latent_vector(all_names), self.x, layer_keys
         )
         jax.block_until_ready(z_final)
         self.vs.set_latent_vector(all_names, z_final)
@@ -847,6 +889,7 @@ class GPARRegressor:
             "layer_iters": np.asarray(layer_iters),
             "wall_clock_s": _time.time() - t0,
             "fused": True,
+            "restarts": restarts,
         }
 
     def logpdf(

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 
-__all__ = ["minimise_l_bfgs_b", "lbfgs_traced"]
+__all__ = ["minimise_l_bfgs_b", "lbfgs_traced", "lbfgs_traced_restarts"]
 
 
 def lbfgs_traced(fun, z0, iters=1000, gtol=1e-9, memory_size=10):
@@ -40,6 +40,44 @@ def lbfgs_traced(fun, z0, iters=1000, gtol=1e-9, memory_size=10):
     return lbfgs_minimize(fun, z0, iters=iters, gtol=gtol, memory=memory_size)
 
 
+def lbfgs_traced_restarts(
+    fun,
+    z0,
+    key,
+    restarts,
+    restart_scale=1.0,
+    iters=1000,
+    gtol=1e-9,
+    memory_size=10,
+):
+    """Multi-start L-BFGS as one traced computation (beyond the reference:
+    GP marginal likelihoods are multi-modal in the length scales, and the
+    reference offers only single-start fits).
+
+    Runs ``restarts`` optimisations **in parallel with one `vmap`** — the
+    TPU executes the whole batch as batched kernels instead of a restart
+    loop — from the unperturbed ``z0`` plus ``restarts - 1`` Gaussian
+    perturbations of scale ``restart_scale`` *in the unconstrained latent
+    space* (multiplicative in natural space for positive variables), and
+    returns the best finite optimum ``(z, value, iters_used)``.
+    """
+    if restarts <= 1:
+        return lbfgs_traced(
+            fun, z0, iters=iters, gtol=gtol, memory_size=memory_size
+        )
+    noise = restart_scale * jax.random.normal(
+        key, (restarts - 1, z0.shape[0]), dtype=z0.dtype
+    )
+    z0s = jnp.concatenate([z0[None], z0[None] + noise], axis=0)
+    zs, fs, its = jax.vmap(
+        lambda z: lbfgs_traced(
+            fun, z, iters=iters, gtol=gtol, memory_size=memory_size
+        )
+    )(z0s)
+    best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+    return zs[best], fs[best], its[best]
+
+
 def minimise_l_bfgs_b(
     objective,
     vs,
@@ -49,6 +87,9 @@ def minimise_l_bfgs_b(
     gtol=1e-9,
     memory_size=10,
     jit=True,
+    restarts=1,
+    restart_scale=1.0,
+    key=None,
 ):
     """Minimise ``objective(vs)`` over the latents of the name-matched
     variables.
@@ -63,6 +104,12 @@ def minimise_l_bfgs_b(
             ``iters=10``, ``tests/test_regression.py:265``).
         trace: Print per-iteration progress (runs the loop host-side).
         gtol: Infinity-norm gradient tolerance for early stopping.
+        restarts: Number of parallel multi-start optimisations (one
+            unperturbed + ``restarts - 1`` perturbed inits, vmapped; see
+            :func:`lbfgs_traced_restarts`).  Default 1 (reference
+            behaviour).
+        restart_scale: Std-dev of the latent-space init perturbations.
+        key: PRNG key for the perturbations (auto-seeded if omitted).
 
     Returns:
         float: Final objective value.
@@ -109,13 +156,25 @@ def minimise_l_bfgs_b(
         vs.set_latent_vector(sel, z)
         return float(value if ok else fun(z0))
 
-    def run(z0):
-        return lbfgs_traced(
-            fun, z0, iters=iters, gtol=gtol, memory_size=memory_size
+    if restarts > 1 and key is None:
+        from ..utils.rng import next_key
+
+        key = next_key()
+
+    def run(z0, key):
+        return lbfgs_traced_restarts(
+            fun,
+            z0,
+            key,
+            restarts,
+            restart_scale=restart_scale,
+            iters=iters,
+            gtol=gtol,
+            memory_size=memory_size,
         )
 
     if jit:
         run = jax.jit(run)
-    z, value, _ = run(z0)
+    z, value, _ = run(z0, key)
     vs.set_latent_vector(sel, z)
     return float(value)

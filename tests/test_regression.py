@@ -427,3 +427,27 @@ def test_sparse_posterior_logpdf_and_sample_missing():
     v = reg.logpdf(x, y_miss, sample_missing=True, posterior=True,
                    key=jax.random.PRNGKey(0))
     assert np.isfinite(v)
+
+
+def test_fit_restarts_fused_and_per_layer():
+    # restarts= on both fit paths: report records it, NLL never worse than
+    # the single-start fit from the same inits.
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 8, 30)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1) + 0.05 * rng.standard_normal((30, 2))
+
+    r1 = GPARRegressor(noise=0.1, normalise_y=False)
+    r1.fit(x, y, iters=30)
+    nll1 = r1.last_fit_report["layer_nll"].sum()
+
+    r2 = GPARRegressor(noise=0.1, normalise_y=False)
+    r2.fit(x, y, iters=30, restarts=4, key=jax.random.PRNGKey(0))
+    assert r2.last_fit_report["restarts"] == 4
+    nll2 = r2.last_fit_report["layer_nll"].sum()
+    assert nll2 <= nll1 + 1e-6
+
+    r3 = GPARRegressor(noise=0.1, normalise_y=False)
+    r3.fit(x, y, iters=30, fused=False, restarts=4, key=jax.random.PRNGKey(0))
+    assert np.isfinite(r3.last_fit_report["layer_nll"]).all()

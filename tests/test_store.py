@@ -160,3 +160,57 @@ def test_minimise_creates_missing_variables():
     minimise_l_bfgs_b(objective, vs, names=None, iters=50)
     assert "a" in vs
     approx(vs["a"], 0.0, atol=1e-4)
+
+
+def test_minimise_restarts_escape_local_optimum():
+    # A deceptive 1-D objective: a shallow local minimum at the init (0)
+    # and a deep, wide Gaussian well at z=6 (global minimum f ~ -1.04).
+    # Single-start L-BFGS stays in the local basin; restarts (latent-space
+    # perturbations, vmapped) find the global one.
+    import jax
+    import jax.numpy as jnp
+
+    from gpar_tpu.params.optim import minimise_l_bfgs_b
+    from gpar_tpu.params.store import Vars
+
+    def objective(vs):
+        z = vs.get(name="z", init=0.0)
+        return 0.01 * z**2 - 1.4 * jnp.exp(-((z - 6.0) ** 2) / 4.0)
+
+    vs1 = Vars()
+    f1 = minimise_l_bfgs_b(objective, vs1, iters=200)
+    assert abs(float(vs1["z"])) < 1.0  # stuck at the local basin
+    assert f1 > -0.5
+
+    vs2 = Vars()
+    f2 = minimise_l_bfgs_b(
+        objective,
+        vs2,
+        iters=200,
+        restarts=16,
+        restart_scale=4.0,
+        key=jax.random.PRNGKey(0),
+    )
+    assert f2 < f1 - 0.5
+    assert abs(float(vs2["z"]) - 6.0) < 0.5
+
+
+def test_minimise_restarts_deterministic_with_key():
+    import jax
+
+    from gpar_tpu.params.optim import minimise_l_bfgs_b
+    from gpar_tpu.params.store import Vars
+
+    def objective(vs):
+        z = vs.get(name="z", init=1.0)
+        return (z - 3.0) ** 2
+
+    outs = []
+    for _ in range(2):
+        vs = Vars()
+        outs.append(
+            minimise_l_bfgs_b(
+                objective, vs, iters=50, restarts=4, key=jax.random.PRNGKey(7)
+            )
+        )
+    assert outs[0] == outs[1]
