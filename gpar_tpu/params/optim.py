@@ -15,7 +15,6 @@ per-layer optimisations in a single XLA computation);
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax import lax
 
 __all__ = ["minimise_l_bfgs_b", "lbfgs_traced", "lbfgs_traced_restarts"]
@@ -129,6 +128,11 @@ def minimise_l_bfgs_b(
         return jnp.asarray(objective(vs.with_latent_vector(sel, z)))
 
     if trace:
+        # optax is only needed for the host-side trace driver; the
+        # production paths use the from-scratch lbfgs (params/lbfgs.py),
+        # keeping the package's hard dependencies to jax + numpy.
+        import optax
+
         opt = optax.lbfgs(memory_size=memory_size)
         value_and_grad = optax.value_and_grad_from_state(fun)
 
