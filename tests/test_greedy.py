@@ -108,3 +108,22 @@ def test_greedy_order_rejects_mismatched_columns():
         reg.logpdf(x, y[:, :1], posterior=True)
     with pytest.raises(ValueError, match="greedy output ordering"):
         reg.condition(x, y[:, :1])
+
+
+def test_greedy_with_missing_data():
+    # The candidate scorer must restrict each candidate to rows where it
+    # and all selected outputs are observed (the closed-downwards
+    # requirement) and normalise per observation, so partially-missing
+    # outputs stay comparable.
+    x, y = _chain_data(n=50)
+    y = y.copy()
+    y[::7, 0] = np.nan  # white-noise column loses some rows
+    y[1::9, 1] = np.nan  # smooth column too
+    reg = GPARRegressor(noise=0.1, compat=False, impute=True)
+    reg.fit(x, y, greedy=True, iters=25)
+    assert sorted(reg.order.tolist()) == [0, 1]
+    assert reg.order[0] == 1  # smooth column still leads
+    mean = reg.predict(x, num_samples=20)
+    assert np.isfinite(mean).all()
+    lp = reg.logpdf(x, y, posterior=True)
+    assert np.isfinite(lp)
