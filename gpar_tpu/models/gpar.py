@@ -32,6 +32,19 @@ from ..utils.rng import next_key
 __all__ = ["GPAR", "merge", "construct_model", "last", "per_output"]
 
 
+def _tracing_active():
+    """True when called during a jit/vmap/grad trace — even one where all
+    the GPAR *data* operands are closed-over constants and only the
+    hyperparameters are traced (so checking a single operand's type is
+    not enough)."""
+    try:
+        from jax._src.core import trace_state_clean
+
+        return not trace_state_clean()
+    except Exception:  # pragma: no cover - private-API fallback
+        return False  # fail open: behave like the pre-guard code
+
+
 def _np_mask(mask):
     return np.asarray(mask, dtype=bool)
 
@@ -233,7 +246,7 @@ class GPAR:
                 if sample_missing and missing.any():
                     f_post = condition(f, obs)
                     if key is None:
-                        if isinstance(x, jax.core.Tracer):
+                        if _tracing_active():
                             # next_key() here would be captured as a
                             # trace-time constant: every call of the
                             # user's compiled function would reuse the

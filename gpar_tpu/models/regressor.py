@@ -357,14 +357,20 @@ class GPARRegressor:
         #: outputs stay in the original column order.
         self.order = None
 
-    def _permute_outputs(self, a):
+    def _permute_outputs(self, a, strict=True):
         """Original column order -> internal (greedy) layer order.
 
         With a greedy ordering in effect the binding between output
         columns and layers is only defined for the full set of fitted
-        outputs — a different column count would silently bind columns to
-        the wrong layers, so it raises instead."""
-        if a is None or self.order is None:
+        outputs; ``strict`` (the condition/logpdf paths) raises on a
+        width mismatch rather than silently binding columns to the wrong
+        layers.  Non-strict callers (prior sampling with an explicit
+        ``p != fitted p`` — a different chain than the fitted one, where
+        columns mean "greedy position") pass mismatched widths through
+        untouched."""
+        if a is None or self.order is None or (
+            not strict and a.shape[1] != len(self.order)
+        ):
             return a
         if a.shape[1] != len(self.order):
             raise ValueError(
@@ -375,10 +381,14 @@ class GPARRegressor:
             )
         return a[:, np.asarray(self.order)]
 
-    def _unpermute_outputs(self, a):
+    def _unpermute_outputs(self, a, strict=True):
         """Internal (greedy) layer order -> original column order; applies
-        to the last axis (sample batches are (s, n, p))."""
-        if a is None or self.order is None:
+        to the last axis (sample batches are (s, n, p)).  ``strict`` as in
+        :meth:`_permute_outputs` (prior samples of a different chain
+        length stay in layer order)."""
+        if a is None or self.order is None or (
+            not strict and a.shape[-1] != len(self.order)
+        ):
             return a
         if a.shape[-1] != len(self.order):
             raise ValueError(
@@ -419,11 +429,13 @@ class GPARRegressor:
         ``self.order[pi]``; all user-facing results come back in the
         original column order.
         """
-        self.x = _uprank(_to_jnp(x))
-        y = _uprank(_to_jnp(y))
-        y = self._permute_outputs(y)
+        # Validate/permute before mutating any state: a width mismatch
+        # against a fitted greedy ordering must leave the estimator
+        # untouched, not half-updated.
+        y = self._permute_outputs(_uprank(_to_jnp(y)))
         if w is not None:
             w = self._permute_outputs(_uprank(_to_jnp(w)))
+        self.x = _uprank(_to_jnp(x))
         self.y = self._transform_y(y)
         self.w = _init_weights(w, self.y)
         self.n, self.m = self.x.shape
@@ -744,8 +756,17 @@ class GPARRegressor:
             else:
                 names = [f"{i}/*" for i in range(pi + 1)]
 
+            layer_kw = kw_args
+            if kw_args.get("restarts", 1) > 1:
+                # Independent restart perturbations per layer (the fused
+                # path splits its key per layer too); without this, layers
+                # with same-shaped latent vectors would draw identical
+                # offsets.
+                if kw_args.get("key") is None:
+                    kw_args["key"] = next_key()
+                layer_kw = {**kw_args, "key": jax.random.fold_in(kw_args["key"], pi)}
             layer_nll.append(
-                minimise_l_bfgs_b(objective, self.vs, names=names, **kw_args)
+                minimise_l_bfgs_b(objective, self.vs, names=names, **layer_kw)
             )
         self.last_fit_report = {
             "layer_nll": np.asarray(layer_nll),
@@ -1035,7 +1056,7 @@ class GPARRegressor:
                 (x.shape[0], self.p if posterior else p), dtype=x.dtype
             )
         else:
-            w = self._permute_outputs(_uprank(_to_jnp(w)))
+            w = self._permute_outputs(_uprank(_to_jnp(w)), strict=posterior)
 
         def undo_transforms(y_):
             return self._untransform_y(self._unnormalise_y(y_))
@@ -1127,8 +1148,9 @@ class GPARRegressor:
             self._jit_cache[cache_key] = sample_fn
         batch = sample_fn(z, x_data, x, w, keys)
         batch = np.asarray(undo_transforms(batch))[:num_samples]
-        # Greedy-ordered layers -> original output columns.
-        batch = self._unpermute_outputs(batch)
+        # Greedy-ordered layers -> original output columns (prior samples
+        # of a different chain length stay in layer order).
+        batch = self._unpermute_outputs(batch, strict=posterior)
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
 

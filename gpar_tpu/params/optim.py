@@ -128,6 +128,14 @@ def minimise_l_bfgs_b(
         return jnp.asarray(objective(vs.with_latent_vector(sel, z)))
 
     if trace:
+        if restarts > 1:
+            # Silently running single-start when the user asked for a
+            # multi-start fit would misattribute a worse optimum to the
+            # model rather than the dropped option.
+            raise ValueError(
+                "trace=True runs the host-side single-start driver; it "
+                "does not support restarts>1. Drop trace= or restarts=."
+            )
         # optax is only needed for the host-side trace driver; the
         # production paths use the from-scratch lbfgs (params/lbfgs.py),
         # keeping the package's hard dependencies to jax + numpy.

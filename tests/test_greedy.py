@@ -106,8 +106,32 @@ def test_greedy_order_rejects_mismatched_columns():
     reg.fit(x, y, greedy=True, iters=20)
     with pytest.raises(ValueError, match="greedy output ordering"):
         reg.logpdf(x, y[:, :1], posterior=True)
+    x_before, y_before = reg.x, reg.y
     with pytest.raises(ValueError, match="greedy output ordering"):
-        reg.condition(x, y[:, :1])
+        reg.condition(x * 2.0, y[:, :1])
+    # The failed condition() must not leave the estimator half-updated.
+    assert reg.x is x_before and reg.y is y_before
+    post = reg.predict(x, num_samples=5)
+    assert np.isfinite(post).all()
+
+
+def test_greedy_order_prior_sampling_other_p_still_works():
+    # Prior sampling with an explicit p different from the fitted chain
+    # is a core reference API (gpar/regression.py:508); a fitted greedy
+    # ordering must not break it — those samples stay in layer order.
+    # normalise_y=False: after conditioning, per-output normalisation
+    # stats are width-p_fitted and cannot apply to other widths — that
+    # restriction is reference behaviour (gpar/regression.py:553-554),
+    # independent of the greedy ordering under test here.
+    x, y = _chain_data()
+    reg = GPARRegressor(noise=0.1, compat=False, normalise_y=False)
+    reg.fit(x, y, greedy=True, iters=20)
+    s3 = reg.sample(x, p=3)           # wider prior chain than fitted
+    assert s3.shape == (len(x), 3)
+    s1 = reg.sample(x, p=1)
+    assert s1.shape == (len(x), 1)
+    lp = reg.logpdf(x, y)             # prior logpdf, fitted width: permuted
+    assert np.isfinite(lp)
 
 
 def test_greedy_with_missing_data():

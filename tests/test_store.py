@@ -214,3 +214,19 @@ def test_minimise_restarts_deterministic_with_key():
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_minimise_trace_rejects_restarts():
+    import jax
+    import pytest
+
+    from gpar_tpu.params.optim import minimise_l_bfgs_b
+    from gpar_tpu.params.store import Vars
+
+    def objective(vs):
+        return (vs.get(name="z", init=1.0) - 3.0) ** 2
+
+    with pytest.raises(ValueError, match="restarts"):
+        minimise_l_bfgs_b(
+            objective, Vars(), trace=True, restarts=4, key=jax.random.PRNGKey(0)
+        )
