@@ -701,9 +701,31 @@ class GPARRegressor:
 
         import time as _time
 
+        from ..utils.experiment import Counter
+
         t0 = _time.time()
         layer_nll = []
+        # Per-layer progress, as the reference shows
+        # (``Counter(name="Training conditionals", ...)``,
+        # ``gpar/regression.py:417``). The fused path is one opaque XLA
+        # call and reports through ``last_fit_report`` instead.
+        counter_ctx = Counter(name="Training conditionals", total=self.p)
+        with counter_ctx as counter:
+            self._fit_per_layer_loop(
+                counter, y_cached, all_names, fix, layer_nll, **kw_args
+            )
+        self.last_fit_report = {
+            "layer_nll": np.asarray(layer_nll),
+            "layer_iters": None,  # per-layer driver does not track iterations
+            "wall_clock_s": _time.time() - t0,
+            "fused": False,
+        }
+
+    def _fit_per_layer_loop(
+        self, counter, y_cached, all_names, fix, layer_nll, **kw_args
+    ):
         for pi in range(self.p):
+            counter.count()
             if fix:
                 # Precompute the previous layers' augmented inputs — the
                 # resumable-inputs fast path (``gpar/regression.py:423-432``)
@@ -768,12 +790,6 @@ class GPARRegressor:
             layer_nll.append(
                 minimise_l_bfgs_b(objective, self.vs, names=names, **layer_kw)
             )
-        self.last_fit_report = {
-            "layer_nll": np.asarray(layer_nll),
-            "layer_iters": None,  # per-layer driver does not track iterations
-            "wall_clock_s": _time.time() - t0,
-            "fused": False,
-        }
 
     def _fit_fixed_fused(
         self,
