@@ -1,7 +1,11 @@
 """EEG experiment (port of the reference ``examples/paper/eeg.py``):
 7 outputs with structured missingness; impute path; per-output SMSE.
 
-Run: ``python examples/eeg.py [--quick] [--data-dir DIR]``
+Run: ``python examples/eeg.py [--quick] [--data-dir DIR] [--greedy] [--restarts K]``
+
+``--greedy`` orders the outputs by conditional marginal likelihood before
+fitting and ``--restarts K`` multi-starts each layer's optimisation —
+both beyond the reference (which stubs greedy out and is single-start).
 """
 
 import os as _os
@@ -25,6 +29,10 @@ from gpar_tpu.utils.metrics import smse
 if __name__ == "__main__":
     out.report_time = True
     quick = "--quick" in sys.argv
+    greedy = "--greedy" in sys.argv
+    restarts = 1
+    if "--restarts" in sys.argv:
+        restarts = int(sys.argv[sys.argv.index("--restarts") + 1])
     data_dir = None
     if "--data-dir" in sys.argv:
         data_dir = sys.argv[sys.argv.index("--data-dir") + 1]
@@ -45,8 +53,14 @@ if __name__ == "__main__":
         impute=True,
         replace=False,
         normalise_y=True,
+        compat=not greedy,  # greedy search lives behind compat=False
     )
-    model.fit(x, y_train, iters=iters)
+    fit_kw = {}
+    if restarts > 1:
+        fit_kw["restarts"] = restarts
+    model.fit(x, y_train, greedy=greedy, iters=iters, **fit_kw)
+    if greedy:
+        out.kv("Greedy order", " -> ".join(columns[i] for i in model.order))
     means, lowers, uppers = model.predict(
         x, num_samples=num_samples, credible_bounds=True, latent=True
     )
