@@ -193,3 +193,26 @@ def test_mesh_kwarg_sample_sharding_pads_num_samples():
         )
     assert isinstance(samples, list) and len(samples) == 5
     assert samples[0].shape == (n, p)
+
+
+def test_mesh_fit_with_restarts():
+    # restarts>1 vmaps each layer's L-BFGS; under an active mesh the
+    # objective contains a shard_map (sharded Titsias) — lock in that the
+    # vmap-of-shard_map composition works end to end.
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    rng = np.random.default_rng(0)
+    n = 64
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.stack([np.sin(x), np.cos(np.sin(x)) ** 2], 1)
+    y = y + 0.05 * rng.standard_normal((n, 2))
+    reg = GPARRegressor(
+        noise=0.1, x_ind=np.linspace(0, 10, 8), normalise_y=False
+    )
+    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+        reg.fit(x, y, iters=10, restarts=4, key=jax.random.PRNGKey(0))
+        mean = reg.predict(x, num_samples=8, key=jax.random.PRNGKey(1))
+    assert reg.last_fit_report["restarts"] == 4
+    assert np.isfinite(reg.last_fit_report["layer_nll"]).all()
+    assert np.isfinite(mean).all()
