@@ -624,7 +624,15 @@ class GPARRegressor:
         z0 = vs.latent_vector(names)
         dtype = self.x.dtype
 
-        cache_key = ("greedy_nll", pi, x_aug.shape, iters, gtol, memory_size)
+        cache_key = (
+            "greedy_nll",
+            pi,
+            x_aug.shape,
+            iters,
+            gtol,
+            memory_size,
+            mesh_descriptor(),
+        )
         fn = self._jit_cache.get(cache_key)
         if fn is None:
             sparse, x_ind = self.sparse, self.x_ind

@@ -151,3 +151,33 @@ def test_greedy_with_missing_data():
     assert np.isfinite(mean).all()
     lp = reg.logpdf(x, y, posterior=True)
     assert np.isfinite(lp)
+
+
+def test_greedy_under_mesh():
+    # The candidate scorer builds PseudoObs, whose mesh branch shard_maps
+    # the Titsias statistics — lock in greedy + mesh end to end, and that
+    # the scorer's program cache distinguishes mesh contexts.
+    import jax
+
+    import gpar_tpu
+    from gpar_tpu.parallel.sharded import make_mesh
+
+    x, y = _chain_data(n=64)
+    x_ind = np.linspace(0.0, 10.0, 8)
+    reg = GPARRegressor(noise=0.1, x_ind=x_ind, compat=False, normalise_y=False)
+    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+        reg.fit(x, y, greedy=True, iters=15, mesh=None)
+        mean = reg.predict(x, num_samples=8, key=jax.random.PRNGKey(0))
+    assert sorted(reg.order.tolist()) == [0, 1]
+    assert np.isfinite(mean).all()
+    # The scorer's program cache must distinguish mesh contexts: the same
+    # call outside the mesh context creates a new cache entry (a stale
+    # mesh-bound program would be reused otherwise).
+    n_keys = len([k for k in reg._jit_cache if k[0] == "greedy_nll"])
+    y_np = np.asarray(reg.y)
+    nll = reg._greedy_layer_nll(
+        0, np.asarray(reg.x), y_np[:, 0], np.ones(len(x)), 15, 1e-9, 10
+    )
+    assert np.isfinite(nll)
+    n_keys2 = len([k for k in reg._jit_cache if k[0] == "greedy_nll"])
+    assert n_keys2 == n_keys + 1
