@@ -169,15 +169,31 @@ def use_mesh(mesh, min_rows=None, axis=None):
 
 
 def mesh_descriptor():
-    """Hashable summary of the active mesh (for jit-cache keys)."""
+    """Hashable summary of every trace-time global that gets baked into a
+    compiled program: the active mesh AND the numeric-config knobs
+    (jitter, Cholesky dispatch, Pallas toggle).  In-process program caches
+    key on this so changing any knob between calls retraces instead of
+    reusing a stale executable (the persistent XLA cache is HLO-keyed and
+    needs no help)."""
     m = config.mesh
-    if m is None:
-        return None
+    mesh_part = None
+    if m is not None:
+        mesh_part = (
+            tuple(m.axis_names),
+            tuple(m.devices.shape),
+            config.shard_axis,
+            config.shard_min_rows,
+        )
     return (
-        tuple(m.axis_names),
-        tuple(m.devices.shape),
-        config.shard_axis,
-        config.shard_min_rows,
+        mesh_part,
+        config.epsilon,
+        config.epsilon_f32,
+        tuple(config.cholesky_retry_factors),
+        config.use_pallas_gram,
+        config.pallas_gram_min_size,
+        config.use_blocked_cholesky,
+        config.blocked_cholesky_min,
+        config.blocked_cholesky_block,
     )
 
 

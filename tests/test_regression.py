@@ -451,3 +451,26 @@ def test_fit_restarts_fused_and_per_layer():
     r3 = GPARRegressor(noise=0.1, normalise_y=False)
     r3.fit(x, y, iters=30, fused=False, restarts=4, key=jax.random.PRNGKey(0))
     assert np.isfinite(r3.last_fit_report["layer_nll"]).all()
+
+
+def test_jit_cache_respects_config_changes():
+    # Trace-time config knobs (jitter, Cholesky dispatch) are baked into
+    # compiled programs as constants; changing one between calls must
+    # retrace, not silently reuse a stale executable.
+    from gpar_tpu.config import config
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 5, 20)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1) + 0.05 * rng.standard_normal((20, 2))
+    r = GPARRegressor(noise=0.1, normalise_y=False)
+    r.condition(x, y)
+    old_eps = config.epsilon
+    try:
+        lp1 = r.logpdf(x, y, posterior=True)
+        n_prog = len(r._jit_cache)
+        config.epsilon = 1e-4  # very different jitter
+        lp2 = r.logpdf(x, y, posterior=True)
+        assert len(r._jit_cache) == n_prog + 1  # retraced, not reused
+        assert lp1 != lp2  # the new jitter actually took effect
+    finally:
+        config.epsilon = old_eps
