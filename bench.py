@@ -66,6 +66,7 @@ def build_model(x):
 
 
 def run_once(reg, x, y, x_test, iters, num_samples, key_seed):
+    """Two-call path (fit, then predict) — kept for the phase breakdown."""
     set_seed(key_seed)
     t0 = time.time()
     reg.fit(x, y, iters=iters)
@@ -77,6 +78,20 @@ def run_once(reg, x, y, x_test, iters, num_samples, key_seed):
     t_pred = time.time() - t0
     assert np.isfinite(mean).all(), "non-finite predictions"
     return t_fit, t_pred
+
+
+def run_once_fused(reg, x, y, x_test, iters, num_samples, key_seed):
+    """Production serving path: fit + conditioning + MC prediction as ONE
+    compiled program / device round-trip (GPARRegressor.fit_predict)."""
+    set_seed(key_seed)
+    t0 = time.time()
+    mean, lowers, uppers = reg.fit_predict(
+        x, y, x_test, iters=iters, num_samples=num_samples,
+        credible_bounds=True, latent=False,
+    )
+    total = time.time() - t0
+    assert np.isfinite(mean).all(), "non-finite predictions"
+    return total
 
 
 def main():
@@ -102,20 +117,26 @@ def main():
     # Cold pass: pays tracing + XLA compiles (persistently cached on disk).
     t0 = time.time()
     cold_fit, cold_pred = run_once(reg, x, y, x_test, iters, num_samples, 0)
+    cold_fused = run_once_fused(reg, x, y, x_test, iters, num_samples, 0)
     print(
         f"[bench] cold: fit {cold_fit:.1f}s predict {cold_pred:.1f}s "
+        f"fused fit_predict {cold_fused:.1f}s "
         f"(total incl. setup {time.time() - t0:.1f}s)",
         file=sys.stderr,
     )
 
-    # Steady-state pass: same shapes and data -> cached executables; this is
-    # the production fit+predict cost.
+    # Steady-state passes: same shapes and data -> cached executables.
     fit_s, pred_s = run_once(reg, x, y, x_test, iters, num_samples, 1)
-    total = fit_s + pred_s
     print(
-        f"[bench] warm: fit {fit_s:.1f}s predict {pred_s:.1f}s total {total:.1f}s",
+        f"[bench] warm two-call: fit {fit_s:.1f}s predict {pred_s:.1f}s "
+        f"total {fit_s + pred_s:.1f}s",
         file=sys.stderr,
     )
+    # The headline: the single-dispatch production path (one compiled
+    # program for fit + conditioning + 100-sample predictive; one host
+    # round-trip).
+    total = run_once_fused(reg, x, y, x_test, iters, num_samples, 1)
+    print(f"[bench] warm fused fit_predict: {total:.1f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -825,14 +825,64 @@ class GPARRegressor:
         (:func:`gpar_tpu.params.optim.lbfgs_traced_restarts`) — all inside
         the same single XLA program.
         """
-        p, m = self.p, self.m
+        p = self.p
         if restarts > 1 and key is None:
             key = next_key()
-        layer_keys = (
-            jax.random.split(key, p)
-            if restarts > 1
-            else jnp.zeros((p, 2), dtype=jnp.uint32)
+        layer_keys = self._fit_layer_keys(key, restarts)
+        program = self._build_fused_fit_body(
+            y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
         )
+
+        cache_key = (
+            "fit_fused",
+            self.n,
+            self.m,
+            p,
+            iters,
+            gtol,
+            memory_size,
+            restarts,
+            restart_scale,
+            mesh_descriptor(),
+            self._data_fingerprint,
+        )
+        fit_fn = self._jit_cache.get(cache_key)
+        if fit_fn is None:
+            fit_fn = jax.jit(program)
+            self._jit_cache[cache_key] = fit_fn
+        import time as _time
+
+        t0 = _time.time()
+        z_final, layer_nll, layer_iters = fit_fn(
+            self.vs.latent_vector(all_names), self.x, layer_keys
+        )
+        jax.block_until_ready(z_final)
+        self.vs.set_latent_vector(all_names, z_final)
+        # Structured fit observability (SURVEY.md §5: the reference logs
+        # nothing beyond a progress bar).
+        self.last_fit_report = {
+            "layer_nll": np.asarray(layer_nll),
+            "layer_iters": np.asarray(layer_iters),
+            "wall_clock_s": _time.time() - t0,
+            "fused": True,
+            "restarts": restarts,
+        }
+
+    def _fit_layer_keys(self, key, restarts):
+        """Per-layer PRNG keys for restart perturbations (a dummy filler
+        when restarts == 1 so the program signature stays uniform)."""
+        if restarts > 1:
+            return jax.random.split(key, self.p)
+        return jnp.zeros((self.p, 2), dtype=jnp.uint32)
+
+    def _build_fused_fit_body(
+        self, y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
+    ):
+        """The traced whole-fit body ``(z_all, x, layer_keys) -> (z_final,
+        layer_nll, layer_iters)`` shared by :meth:`_fit_fixed_fused` (which
+        jits it alone) and :meth:`fit_predict` (which composes it with the
+        prediction tail in one program)."""
+        p, m = self.p, self.m
 
         # Flat-vector index spans per layer (the names=[f"{pi}/*"] filter of
         # ``gpar/regression.py:452-456``, as static gather indices).
@@ -902,11 +952,109 @@ class GPARRegressor:
                     )
             return z_all, jnp.stack(layer_nll), jnp.stack(layer_iters)
 
+        return program
+
+    def fit_predict(
+        self,
+        x,
+        y,
+        x_test=None,
+        w=None,
+        w_test=None,
+        num_samples=100,
+        latent=False,
+        credible_bounds=False,
+        key=None,
+        **kw_args,
+    ):
+        """Fit and predict in ONE compiled program and device round-trip.
+
+        Equivalent to ``fit(x, y, w, **kw_args)`` followed by
+        ``predict(x_test, w_test, num_samples, latent, credible_bounds)``
+        — but the whole pipeline (every layer's L-BFGS loop, posterior
+        conditioning, the vmapped ancestral sampling chain, and the
+        Monte-Carlo mean/percentile reduction) executes as a single XLA
+        program, so the host is involved exactly once.  A TPU-native
+        serving path beyond the reference: on a remote-attached chip each
+        dispatch costs hundreds of ms, so fusing the two phases removes
+        ~1/3 of the end-to-end latency (PERF.md).
+
+        ``x_test`` defaults to the training inputs.  Accepts the fused-fit
+        options (``iters=``, ``gtol=``, ``memory_size=``, ``restarts=``,
+        ``restart_scale=``).  Updates the store and ``last_fit_report``
+        exactly like :meth:`fit`.
+        """
+        self.condition(x, y, w)
+        x_test = self.x if x_test is None else _uprank(_to_jnp(x_test))
+
+        self._ensure_vars(self.p)
+        all_names = self.vs.select(None)
+        y_cached = self._y_cache
+
+        iters = kw_args.pop("iters", 1000)
+        gtol = kw_args.pop("gtol", 1e-9)
+        memory_size = kw_args.pop("memory_size", 10)
+        restarts = kw_args.pop("restarts", 1)
+        restart_scale = kw_args.pop("restart_scale", 1.0)
+        if kw_args:
+            raise TypeError(
+                "Unsupported fit_predict() options: " + ", ".join(sorted(kw_args))
+            )
+
+        if key is None:
+            key = next_key()
+        fit_key, sample_key = jax.random.split(key)
+        layer_keys = self._fit_layer_keys(fit_key, restarts)
+        keys = jax.random.split(sample_key, num_samples)
+        if w_test is None:
+            w_test = jnp.ones((x_test.shape[0], self.p), dtype=x_test.dtype)
+        else:
+            w_test = self._permute_outputs(_uprank(_to_jnp(w_test)))
+
+        fit_body = self._build_fused_fit_body(
+            y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
+        )
+
+        from .gpar import _sample_chain
+
+        def program(z0, x_arr, x_test, w_test, keys, layer_keys):
+            z_final, layer_nll, layer_iters = fit_body(z0, x_arr, layer_keys)
+            view = self.vs.with_latent_vector(all_names, z_final)
+            gpar = _construct_gpar(self, view, self.m, self.p)
+            gpar = gpar | (x_arr, y_cached, None)
+            models = [mo() for mo in gpar.layers]
+            fs = tuple(f for f, _ in models)
+            noises = tuple(n for _, n in models)
+            x_ind = gpar.x_ind
+
+            def one(k):
+                return _sample_chain(
+                    fs,
+                    noises,
+                    x_test,
+                    w_test,
+                    x_ind,
+                    k,
+                    latent=latent,
+                    replace=self.replace,
+                    sparse=self.sparse,
+                )
+
+            batch = jax.vmap(one)(keys)
+            batch = self._untransform_y(self._unnormalise_y(batch))
+            mean = jnp.mean(batch, axis=0)
+            lowers = jnp.percentile(batch, 2.5, axis=0)
+            uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+            return z_final, layer_nll, layer_iters, mean, lowers, uppers
+
         cache_key = (
-            "fit_fused",
+            "fit_predict",
             self.n,
             self.m,
-            p,
+            self.p,
+            x_test.shape,
+            num_samples,
+            latent,
             iters,
             gtol,
             memory_size,
@@ -915,20 +1063,19 @@ class GPARRegressor:
             mesh_descriptor(),
             self._data_fingerprint,
         )
-        fit_fn = self._jit_cache.get(cache_key)
-        if fit_fn is None:
-            fit_fn = jax.jit(program)
-            self._jit_cache[cache_key] = fit_fn
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(program)
+            self._jit_cache[cache_key] = fn
+
         import time as _time
 
         t0 = _time.time()
-        z_final, layer_nll, layer_iters = fit_fn(
-            self.vs.latent_vector(all_names), self.x, layer_keys
+        z_final, layer_nll, layer_iters, mean, lowers, uppers = fn(
+            self.vs.latent_vector(all_names), self.x, x_test, w_test, keys, layer_keys
         )
-        jax.block_until_ready(z_final)
+        jax.block_until_ready(mean)
         self.vs.set_latent_vector(all_names, z_final)
-        # Structured fit observability (SURVEY.md §5: the reference logs
-        # nothing beyond a progress bar).
         self.last_fit_report = {
             "layer_nll": np.asarray(layer_nll),
             "layer_iters": np.asarray(layer_iters),
@@ -936,6 +1083,13 @@ class GPARRegressor:
             "fused": True,
             "restarts": restarts,
         }
+
+        mean = self._unpermute_outputs(np.asarray(mean))
+        if credible_bounds:
+            lowers = self._unpermute_outputs(np.asarray(lowers))
+            uppers = self._unpermute_outputs(np.asarray(uppers))
+            return mean, lowers, uppers
+        return mean
 
     def logpdf(
         self,

@@ -474,3 +474,51 @@ def test_jit_cache_respects_config_changes():
         assert lp1 != lp2  # the new jitter actually took effect
     finally:
         config.epsilon = old_eps
+
+
+def test_fit_predict_matches_fit_then_predict():
+    # fit_predict composes the fused fit and the prediction into one XLA
+    # program; with aligned keys it must reproduce fit() + predict()
+    # exactly (same deterministic fit, same sampling chain, same
+    # percentile convention).
+    import jax
+
+    rng = np.random.default_rng(11)
+    x = np.linspace(0, 8, 40)
+    y = np.stack([np.sin(x), np.cos(x) ** 2], axis=1)
+    y = y + 0.05 * rng.standard_normal((40, 2))
+    x_test = np.linspace(0, 8, 17)
+    K = jax.random.PRNGKey(3)
+
+    r1 = GPARRegressor(noise=0.1, x_ind=np.linspace(0, 8, 8))
+    r1.fit(x, y, iters=25)
+    m1, lo1, up1 = r1.predict(
+        x_test,
+        num_samples=30,
+        credible_bounds=True,
+        key=jax.random.split(K)[1],
+    )
+
+    r2 = GPARRegressor(noise=0.1, x_ind=np.linspace(0, 8, 8))
+    m2, lo2, up2 = r2.fit_predict(
+        x, y, x_test, num_samples=30, credible_bounds=True, iters=25, key=K
+    )
+    assert r2.last_fit_report["fused"] is True
+    np.testing.assert_allclose(m2, m1, atol=1e-8)
+    np.testing.assert_allclose(lo2, lo1, atol=1e-8)
+    np.testing.assert_allclose(up2, up1, atol=1e-8)
+    # The store ends up in the same fitted state.
+    for name, v in r1.get_variables().items():
+        np.testing.assert_allclose(r2.get_variables()[name], v, atol=1e-10)
+
+
+def test_fit_predict_defaults_and_mean_only():
+    rng = np.random.default_rng(12)
+    x = np.linspace(0, 5, 30)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1) + 0.05 * rng.standard_normal((30, 2))
+    r = GPARRegressor(noise=0.1, normalise_y=False)
+    mean = r.fit_predict(x, y, iters=20, num_samples=40)
+    assert mean.shape == y.shape
+    assert np.sqrt(np.mean((mean - y) ** 2)) < 0.2
+    with pytest.raises(TypeError, match="Unsupported"):
+        r.fit_predict(x, y, itres=5)
