@@ -216,3 +216,30 @@ def test_mesh_fit_with_restarts():
     assert reg.last_fit_report["restarts"] == 4
     assert np.isfinite(reg.last_fit_report["layer_nll"]).all()
     assert np.isfinite(mean).all()
+
+
+def test_mesh_fit_predict_single_program():
+    # fit_predict composes fit + conditioning + sampling into one program;
+    # under an active mesh the Titsias statistics inside it shard_map over
+    # the devices. Must match the single-device fit_predict closely.
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    rng = np.random.default_rng(2)
+    n = 64
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.stack([np.sin(x), np.cos(np.sin(x)) ** 2], 1)
+    y = y + 0.05 * rng.standard_normal((n, 2))
+    kw = dict(num_samples=16, iters=10, credible_bounds=True)
+    K = jax.random.PRNGKey(0)
+
+    r1 = GPARRegressor(noise=0.1, x_ind=np.linspace(0, 10, 8), normalise_y=False)
+    m1, lo1, up1 = r1.fit_predict(x, y, key=K, **kw)
+
+    r2 = GPARRegressor(noise=0.1, x_ind=np.linspace(0, 10, 8), normalise_y=False)
+    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+        m2, lo2, up2 = r2.fit_predict(x, y, key=K, **kw)
+    # Same keys, same data; only the summation order differs through the
+    # sharded moment reduction inside L-BFGS -> small drift.
+    np.testing.assert_allclose(m2, m1, atol=1e-2)
+    assert np.isfinite(lo2).all() and np.isfinite(up2).all()
