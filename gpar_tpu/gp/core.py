@@ -275,15 +275,12 @@ class DenseObs:
     @property
     def logpdf(self):
         """Marginal likelihood of ``y`` under the FDD — for a prior ``f``
-        this is the training objective term (``gpar/model.py:226``)."""
-        n = self.y.shape[0]
-        if n == 0:
+        this is the training objective term (``gpar/model.py:226``).
+        Delegates to the single density implementation in ops/linalg."""
+        if self.y.shape[0] == 0:
             return jnp.zeros((), dtype=self.fdd.x.dtype)
-        a = solve_lower(self.L, self.residual)
-        return (
-            -0.5 * n * LOG_2PI
-            - jnp.sum(jnp.log(jnp.diagonal(self.L)))
-            - 0.5 * jnp.sum(a * a)
+        return mvn_logpdf_chol(
+            self.residual, jnp.zeros_like(self.residual), self.L
         )
 
 
@@ -379,7 +376,31 @@ SparseObs = PseudoObs
 
 
 def condition(f, obs):
-    """Posterior GP ``f | obs`` (``gpar/model.py:170,298``)."""
+    """Posterior GP ``f | obs`` (``gpar/model.py:170,298``).
+
+    ``f`` must be the process the observations were built from (or a
+    structurally identical copy — a zero-mean prior with the same kernel
+    tree counts, matching stheno's same-measure conditioning): the
+    Titsias factors / dense residuals inside ``obs`` were computed from
+    ``obs.fdd.f``'s kernel, and attaching them to a structurally
+    different process would produce finite but silently wrong
+    posteriors."""
+    f_obs = obs.fdd.f
+    if f is not f_obs:
+        mismatch = type(f) is not type(f_obs)
+        if not mismatch:
+            try:
+                mismatch = jax.tree_util.tree_structure(
+                    f
+                ) != jax.tree_util.tree_structure(f_obs)
+            except Exception:  # pragma: no cover - exotic pytrees
+                mismatch = False
+        if mismatch:
+            raise ValueError(
+                "condition(f, obs): `obs` was built from a structurally "
+                "different process than `f`; condition the process the "
+                "observations came from."
+            )
     if isinstance(obs, TitsiasObs):
         return SparsePosteriorGP(
             base=f,

@@ -32,6 +32,7 @@ __all__ = [
     "mvn_logpdf_chol",
     "titsias_elbo",
     "titsias_factors",
+    "titsias_finish",
     "psd_sample_factor",
     "LOG_2PI",
 ]
@@ -157,12 +158,57 @@ def _dense_cholesky(K):
     return blocked_cholesky(K) if use else jnp.linalg.cholesky(K)
 
 
+@jax.custom_vjp
+def _chol_grad_safe(K):
+    """``_dense_cholesky`` whose backward pass is NaN-proof.
+
+    A failed (indefinite) factorisation returns a NaN primal; the standard
+    Cholesky VJP would then compute solves with that NaN factor, and even a
+    ZERO cotangent times a NaN intermediate is NaN — so one failed retry
+    rung inside :func:`safe_cholesky` would poison the gradient of the
+    whole objective although the *value* is finite (the classic
+    double-``where`` trap).  This wrapper zeroes the cotangent cleanly when
+    the primal factor is non-finite.
+    """
+    return _dense_cholesky(K)
+
+
+def _chol_grad_safe_fwd(K):
+    L = _dense_cholesky(K)
+    return L, L
+
+
+def _chol_grad_safe_bwd(L, Lbar):
+    # Per-matrix check (keepdims) so a vmapped batch with one failed lane
+    # zeroes only that lane's cotangent.
+    ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    Ls = jnp.where(ok, L, eye)
+    Lbs = jnp.where(ok, jnp.tril(Lbar), 0.0)
+    # Standard Cholesky reverse (Murray 2016): with P = Phi(L^T Lbar),
+    # Phi = tril with halved diagonal, the input cotangent is
+    # sym(L^{-T} P L^{-1}).
+    P = jnp.tril(Ls.T @ Lbs)
+    P = P - 0.5 * jnp.diag(jnp.diagonal(P))
+    tmp = solve_triangular(Ls, P, lower=True, trans=1)  # L^{-T} P
+    Kbar = solve_triangular(Ls, tmp.T, lower=True, trans=1).T  # ... L^{-1}
+    Kbar = 0.5 * (Kbar + Kbar.T)
+    return (jnp.where(ok, Kbar, 0.0),)
+
+
+_chol_grad_safe.defvjp(_chol_grad_safe_fwd, _chol_grad_safe_bwd)
+
+
 def safe_cholesky(K, epsilon=None):
     """Cholesky with escalating-jitter retries.
 
     Tries ``K + eps I`` first; on NaN (indefinite matrix) escalates the
     jitter by ``config.cholesky_retry_factors``.  ``lax.cond`` ensures only
-    the needed factorisations execute under jit.
+    the needed factorisations execute under jit (on unbatched paths; under
+    ``vmap`` both branches run — PERF.md finding 9).  Failed rungs
+    contribute exactly zero to the gradient (:func:`_chol_grad_safe`), so
+    the objective stays differentiable whenever the *returned* factor is
+    finite.
     """
     eps = resolve_epsilon(K.dtype, epsilon)
     n = K.shape[-1]
@@ -171,7 +217,7 @@ def safe_cholesky(K, epsilon=None):
     eye = jnp.eye(n, dtype=K.dtype)
 
     def attempt(e):
-        return _dense_cholesky(K + e * eye)
+        return _chol_grad_safe(K + e * eye)
 
     L = attempt(eps)
     for factor in config.cholesky_retry_factors:
@@ -182,11 +228,13 @@ def safe_cholesky(K, epsilon=None):
         )
     # Last resort: jitter relative to the matrix's own scale.  Absolute
     # rungs top out at eps * max(factor) (1e-6 at the f64 default), which
-    # cannot repair a posterior covariance that has gone indefinite at the
-    # ~1e-5 level deep in an autoregressive chain; 1e-6 of the mean
-    # diagonal always can, at the cost of slightly inflated variances on
-    # that (already degenerate) factorisation only.
-    rel = 1e-6 * jnp.mean(jnp.abs(jnp.diagonal(K)))
+    # cannot repair a covariance that has gone indefinite at a scale set
+    # by its LARGEST diagonal entry (u * lambda_max); 1e-6 of max(diag)
+    # covers that (mean(diag) does not when the diagonal is strongly
+    # non-uniform, e.g. Linear-kernel Grams or D^{-1}-weighted moment
+    # matrices), at the cost of slightly inflated variances on that
+    # (already degenerate) factorisation only.
+    rel = 1e-6 * jnp.max(jnp.abs(jnp.diagonal(K)))
     L = lax.cond(
         jnp.all(jnp.isfinite(L)),
         lambda L=L: L,
@@ -307,29 +355,59 @@ def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
         ``Sigma_B = Kmm + Kmn D^{-1} Knm`` — the quantities the sparse
         posterior mean/covariance are built from.
     """
-    n = y.shape[0]
-    m = Kmm.shape[0]
     r = y - mean
     d_isqrt = 1.0 / jnp.sqrt(noise_diag)
 
     Lm = safe_cholesky(Kmm, epsilon)
     # A = Lm^{-1} Kmn D^{-1/2}  (m, n)
     A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
-    B = A @ A.T + jnp.eye(m, dtype=A.dtype)
-    LB = jnp.linalg.cholesky(B)
+    G = A @ A.T
     u = A @ (r * d_isqrt)
-    # c = LB^{-1} A (r / sqrt(D))
-    c = solve_lower(LB, u)
-
-    logdet = jnp.sum(jnp.log(noise_diag)) + 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(LB))
+    logdet_d = jnp.sum(jnp.log(noise_diag))
+    quad_diag = jnp.sum(r * r / noise_diag)
+    # trace term uses sum_i q_nn,i / d_i == tr(G) (column sums of A^2).
+    trace_knn = jnp.sum(knn_diag / noise_diag)
+    elbo, LB, beta = titsias_finish(
+        G, u, logdet_d, quad_diag, trace_knn, y.shape[0], Lm
     )
-    quad = jnp.sum(r * r / noise_diag) - jnp.sum(c * c)
-    lognorm = -0.5 * (n * LOG_2PI + logdet + quad)
+    return elbo, Lm, LB, beta
 
-    # trace term: -1/2 sum_i (k_nn,i - q_nn,i) / d_i; note q_nn,i / d_i is
-    # the i-th column sum of A^2.
-    trace = -0.5 * (jnp.sum(knn_diag / noise_diag) - jnp.sum(A * A))
 
-    beta = solve_triangular(Lm, solve_chol(LB, u), lower=True, trans=1)
-    return lognorm + trace, Lm, LB, beta
+def titsias_finish(G, u, logdet_d, quad_diag, trace_knn, n_total, Lm):
+    """The replicated O(m^3) tail of the collapsed Titsias ELBO, shared by
+    the single-device path (:func:`titsias_factors`) and the multi-chip
+    path (``parallel/sharded.py`` computes the same global statistics with
+    one ``psum`` and calls this) — ONE copy of the B/LB/beta algebra.
+
+    ``B = I + G`` is factorised with :func:`safe_cholesky`: in float32
+    with near-floor noise, ``G``'s entries reach ~1e8 and round-off makes
+    ``B`` numerically indefinite — a raw Cholesky would NaN the ELBO and
+    every posterior factor (the retry ladder's max(diag)-relative rung
+    repairs exactly this case).
+
+    Args:
+        G: (m, m) ``A A^T`` with ``A = Lm^{-1} Kmn D^{-1/2}``.
+        u: (m,) ``A D^{-1/2} r``.
+        logdet_d / quad_diag / trace_knn: scalars ``sum log D_ii``,
+            ``sum r_i^2 / D_ii``, ``sum K_nn,ii / D_ii``.
+        n_total: number of (unpadded) data rows.
+        Lm: (m, m) Cholesky factor of ``Kmm``.
+
+    Returns:
+        ``(elbo, LB, beta)``.
+    """
+    m = G.shape[-1]
+    LB = safe_cholesky(G + jnp.eye(m, dtype=G.dtype))
+    c = solve_lower(LB, u)
+    logdet = logdet_d + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
+    quad = quad_diag - jnp.sum(c * c)
+    lognorm = -0.5 * (n_total * LOG_2PI + logdet + quad)
+    trace = -0.5 * (trace_knn - jnp.trace(G))
+    # beta = Sigma_B^{-1} Kmn D^{-1} r = Lm^{-T} LB^{-T} c.
+    beta = solve_triangular(
+        Lm,
+        solve_triangular(LB, c, lower=True, trans=1),
+        lower=True,
+        trans=1,
+    )
+    return lognorm + trace, LB, beta

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.kernels import gram, kdiag
-from ..ops.linalg import LOG_2PI, safe_cholesky, solve_lower
+from ..ops.linalg import LOG_2PI, safe_cholesky, solve_lower, titsias_finish
 
 __all__ = [
     "make_mesh",
@@ -80,19 +80,9 @@ def _local_titsias_stats(kernel, z, Lm, x, y, mean, noise_diag, mask, axis):
     return G, b, logdet_d, quad_diag, trace_knn, n_total
 
 
-def _titsias_finish(G, b, logdet_d, quad_diag, trace_knn, n_total, m, dtype):
-    """Replicated O(m^3) tail of the collapsed ELBO given global stats.
-
-    Returns ``(elbo, LB, c)`` so factor-returning callers reuse the one
-    factorisation instead of re-running it."""
-    B = G + jnp.eye(m, dtype=dtype)
-    LB = jnp.linalg.cholesky(B)
-    c = solve_lower(LB, b)
-    logdet = logdet_d + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
-    quad = quad_diag - jnp.sum(c * c)
-    lognorm = -0.5 * (n_total * LOG_2PI + logdet + quad)
-    trace = -0.5 * (trace_knn - jnp.trace(G))
-    return lognorm + trace, LB, c
+# The O(m^3) finish (B factorisation, ELBO tail, beta) is the shared
+# single-source implementation in ops/linalg.py:titsias_finish — the
+# single-device and sharded paths cannot drift apart.
 
 
 def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
@@ -120,7 +110,7 @@ def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
         stats = _local_titsias_stats(
             kernel, z, Lm, x, y, jnp.zeros_like(y), noise_diag, mask, axis
         )
-        return _titsias_finish(*stats, m=m, dtype=dtype)[0]
+        return titsias_finish(*stats, Lm)[0]
 
     fn = jax.shard_map(
         local,
@@ -163,19 +153,8 @@ def sharded_titsias_factors(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
     G, b, logdet_d, quad_diag, trace_knn, n_total = stats_fn(
         kernel, z, Lm, x, y, noise_diag, mask
     )
-    elbo, LB, c = _titsias_finish(
-        G, b, logdet_d, quad_diag, trace_knn, n_total, m=m, dtype=dtype
-    )
-    # beta = Lm^{-T} (LB LB^T)^{-1} b  (identical to the single-device
-    # factorisation in ops/linalg.py:titsias_factors, with b == u and
-    # c == LB^{-1} b already computed by the finish).
-    from jax.scipy.linalg import solve_triangular
-
-    beta = solve_triangular(
-        Lm,
-        solve_triangular(LB, c, lower=True, trans=1),
-        lower=True,
-        trans=1,
+    elbo, LB, beta = titsias_finish(
+        G, b, logdet_d, quad_diag, trace_knn, n_total, Lm
     )
     return elbo, Lm, LB, beta
 

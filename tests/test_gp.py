@@ -172,3 +172,21 @@ def test_pseudo_obs_on_posterior_base_matches_exact():
     f2_exact = condition(f_post, Obs(f_post(x2, noise), y2))
     f2_sparse = condition(f_post, pobs)
     approx(f2_sparse.mean(x2), f2_exact.mean(x2), atol=1e-5)
+
+
+def test_condition_rejects_structurally_different_process():
+    # Conditioning a process on observations built from a structurally
+    # different one would attach mismatched factors and produce finite but
+    # wrong posteriors — it must raise. Structurally identical copies
+    # (same-measure conditioning, as in the joint-conditioning test) pass.
+    import pytest
+
+    from gpar_tpu.ops.kernels import Linear
+
+    x = rng.normal(size=(6, 1))
+    y = rng.normal(size=6)
+    f = GP(EQ())
+    obs = Obs(f(x, 0.1), y)
+    g = GP(EQ() + Linear())  # different kernel structure
+    with pytest.raises(ValueError, match="different process"):
+        g | obs

@@ -273,3 +273,54 @@ def test_blocked_cholesky_in_safe_cholesky_retry_ladder():
             config.blocked_cholesky_min,
             config.blocked_cholesky_block,
         ) = old
+
+
+def test_safe_cholesky_grad_finite_when_first_rung_fails():
+    # A failed retry rung must contribute exactly ZERO gradient, not NaN:
+    # the failed attempt's NaN primal would otherwise poison the backward
+    # pass even with a zero cotangent (double-where trap).
+    v = rng.normal(size=(8, 1))
+
+    def loss(v):
+        K = v @ v.T - 1e-8 * jnp.eye(8)  # slightly indefinite at eps=1e-12
+        L = safe_cholesky(K)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L**2)
+
+    val = loss(jnp.asarray(v))
+    assert np.isfinite(float(val))
+    g = jax.grad(loss)(jnp.asarray(v))
+    assert np.isfinite(np.asarray(g)).all(), "retry ladder leaked NaN grads"
+
+
+def test_safe_cholesky_relative_jitter_scales_with_max_diag():
+    # A strongly non-uniform diagonal (one huge entry, like a
+    # D^{-1}-weighted moment matrix) indefinite at -10: 1e-6*mean(diag)
+    # ~ 3.1 would NOT repair it, 1e-6*max(diag) = 100 does.
+    K = jnp.asarray(np.diag([-10.0] + [1.0] * 30 + [1e8]))
+    L = safe_cholesky(K)
+    assert bool(jnp.all(jnp.isfinite(L)))
+
+
+def test_titsias_f32_small_noise_stays_finite():
+    # float32, noise near the 1e-8 bound: B = I + A A^T has entries ~1e8
+    # and is numerically indefinite; the finish must repair it instead of
+    # NaN-ing the ELBO and the posterior factors (caught on the serving
+    # config GPAR_TPU_NO_X64=1).
+    from gpar_tpu.ops.kernels import EQ
+    from gpar_tpu.ops.linalg import titsias_factors
+
+    n, m = 512, 128
+    x = jnp.asarray(rng.uniform(0, 10, (n, 1)), jnp.float32)
+    z = jnp.asarray(np.linspace(0, 10, m)[:, None], jnp.float32)
+    k = EQ().stretch(jnp.asarray([1.0], jnp.float32))
+    y = jnp.asarray(np.sin(np.asarray(x[:, 0])), jnp.float32)
+    noise = jnp.full((n,), 1e-6, jnp.float32)
+    Kmm = gram(k, z, z)
+    Kmn = gram(k, z, x)
+    knn = kdiag(k, x)
+    elbo, Lm, LB, beta = titsias_factors(
+        Kmm, Kmn, knn, y, jnp.zeros_like(y), noise
+    )
+    assert np.isfinite(float(elbo))
+    assert bool(jnp.all(jnp.isfinite(LB)))
+    assert bool(jnp.all(jnp.isfinite(beta)))
