@@ -121,6 +121,13 @@ class _Config:
         #: Panel width (multiple of the 512 MXU-friendly tile; measured
         #: best at n=4k-16k).
         self.blocked_cholesky_block = 512
+        #: Panel solve strategy: True replaces the wide triangular solve
+        #: ``L21 = A21 Ljj^{-T}`` with an explicit blocked triangular
+        #: inversion of the (small) diagonal block followed by one MXU
+        #: matmul (the TRSM -> TRTRI+GEMM transformation; large
+        #: TriangularSolve ops lower poorly on TPU while the b x b
+        #: inversion is cheap).  Measured numbers: PERF.md.
+        self.cholesky_trsm_inverse = True
         #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
         #: one axis, or None).  When set, the sparse (Titsias) training
         #: path row-shards its per-layer statistics over the mesh and
@@ -133,6 +140,10 @@ class _Config:
         #: Layers with fewer rows than this stay single-device (the psum +
         #: padding overhead dominates tiny layers).
         self.shard_min_rows = 1024
+        #: Panel width of the distributed dense Cholesky
+        #: (``parallel/dense.py``); shrunk automatically for small
+        #: problems so padding overhead stays bounded.
+        self.dense_shard_block = 256
 
 
 config = _Config()
@@ -194,6 +205,8 @@ def mesh_descriptor():
         config.use_blocked_cholesky,
         config.blocked_cholesky_min,
         config.blocked_cholesky_block,
+        config.cholesky_trsm_inverse,
+        config.dense_shard_block,
     )
 
 

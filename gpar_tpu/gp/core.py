@@ -265,12 +265,20 @@ _register(FDD)
 
 @dataclass(frozen=True)
 class DenseObs:
-    """Exact observations with precomputed factors.  Build via ``Obs``."""
+    """Exact observations with precomputed factors.  Build via ``Obs``.
+
+    ``logpdf_val``/``alpha`` are populated by the row-sharded multi-chip
+    path (``parallel/dense.py``): the distributed factorisation emits the
+    marginal likelihood and ``(K + D)^{-1} r`` in the same pass, so the
+    logpdf needs no further triangular solve (which would force an
+    all-gather of the sharded ``L``)."""
 
     fdd: FDD
     y: jnp.ndarray  # (n,)
     L: jnp.ndarray  # chol of cov + D
     residual: jnp.ndarray  # y - mean
+    logpdf_val: Optional[jnp.ndarray] = None  # scalar (sharded path)
+    alpha: Optional[jnp.ndarray] = None  # (n,) (K + D)^{-1} residual
 
     @property
     def logpdf(self):
@@ -279,6 +287,8 @@ class DenseObs:
         Delegates to the single density implementation in ops/linalg."""
         if self.y.shape[0] == 0:
             return jnp.zeros((), dtype=self.fdd.x.dtype)
+        if self.logpdf_val is not None:
+            return self.logpdf_val
         return mvn_logpdf_chol(
             self.residual, jnp.zeros_like(self.residual), self.L
         )
@@ -313,8 +323,36 @@ _register(TitsiasObs)
 
 
 def Obs(fdd, y):
-    """Exact observations ``Obs(f(x, noise), y)`` (``gpar/model.py:289``)."""
+    """Exact observations ``Obs(f(x, noise), y)`` (``gpar/model.py:289``).
+
+    Multi-chip path (zero-mean priors): with an active execution mesh
+    (``gpar_tpu.use_mesh``) and enough rows, the n x n Gram, the blocked
+    Cholesky and the triangular solves all run row-sharded over the mesh
+    (``parallel/dense.py``) — O(n^2/P) memory and O(n^3/P) compute per
+    device, gradients included.  Identical quantities, oracle-tested
+    against the single-device branch."""
     y = _vec(y)
+    f = fdd.f
+    from ..config import config as _cfg
+
+    mesh = _cfg.mesh
+    if (
+        isinstance(f, GP)
+        and mesh is not None
+        and fdd.x.shape[0] >= max(_cfg.shard_min_rows, mesh.devices.size)
+    ):
+        from ..parallel.dense import sharded_dense_factors
+
+        noise = fdd.noise
+        if noise is None:
+            noise = jnp.zeros(fdd.x.shape[0], dtype=fdd.x.dtype)
+        logpdf_val, L, alpha = sharded_dense_factors(
+            f.kernel, fdd.x, y, noise, mesh, axis=_cfg.shard_axis
+        )
+        return DenseObs(
+            fdd=fdd, y=y, L=L, residual=y, logpdf_val=logpdf_val, alpha=alpha
+        )
+
     L = fdd.chol()
     return DenseObs(fdd=fdd, y=y, L=L, residual=y - fdd.mean_vec())
 
@@ -418,7 +456,22 @@ def condition(f, obs):
         noise_new = jnp.zeros(x_new.shape[0], dtype=x_new.dtype)
 
     if isinstance(f, GP):
-        return _condition_dense(f.kernel, x_new, y_new, noise_new)
+        # Reuse the factorisation already inside the observations (it IS
+        # chol(K(x) + D) of the same kernel/inputs/noise): halves the
+        # Cholesky work in eager mode and keeps the sharded-path factor
+        # (computed distributed, ``parallel/dense.py``) instead of
+        # refactorising replicated.
+        alpha = obs.alpha
+        if alpha is None:
+            alpha = solve_chol(obs.L, obs.residual)
+        return PosteriorGP(
+            kernel=f.kernel,
+            x_data=x_new,
+            y_data=y_new,
+            noise_diag=noise_new,
+            L=obs.L,
+            alpha=alpha,
+        )
     if isinstance(f, PosteriorGP):
         # Condition on the union of old and new data.
         x_all = jnp.concatenate([f.x_data, x_new], axis=0)

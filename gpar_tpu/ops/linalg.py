@@ -65,6 +65,37 @@ def add_jitter(K, epsilon=None):
     return K + eps * jnp.eye(n, dtype=K.dtype)
 
 
+def tri_inv_lower(L, base=128):
+    """Inverse of a small lower-triangular block by recursive 2x2 block
+    partitioning: ``inv([[A, 0], [B, C]]) = [[iA, 0], [-iC B iA, iC]]``.
+
+    Turns all but the ``base x base`` leaf solves into MXU matmuls — the
+    building block of the TRSM -> TRTRI+GEMM panel solve
+    (``config.cholesky_trsm_inverse``).  Intended for panel-sized blocks
+    (hundreds); the recursion is a Python unroll, so sizes must be
+    concrete (they are: panel widths are config constants).
+    """
+    n = L.shape[-1]
+    if n <= base:
+        return solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    h = n // 2
+    iA = tri_inv_lower(L[:h, :h], base)
+    iC = tri_inv_lower(L[h:, h:], base)
+    X = -iC @ (L[h:, :h] @ iA)
+    top = jnp.concatenate([iA, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([X, iC], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _panel_solve(Ljj, A21):
+    """``L21 = A21 Ljj^{-T}`` — via explicit inversion + one matmul when
+    ``config.cholesky_trsm_inverse`` (default; the wide TriangularSolve is
+    the measured panel bottleneck on TPU), else the direct solve."""
+    if config.cholesky_trsm_inverse:
+        return A21 @ tri_inv_lower(Ljj).T
+    return solve_triangular(Ljj, A21.T, lower=True).T
+
+
 def _blocked_cholesky_fwd(K, block):
     """Right-looking blocked Cholesky, lower triangle, triangle-aware.
 
@@ -86,7 +117,7 @@ def _blocked_cholesky_fwd(K, block):
         L = L.at[j0 : j0 + block, j0 : j0 + block].set(Ljj)
         if j0 + block < n:
             A21 = A[j0 + block :, j0 : j0 + block]
-            L21 = solve_triangular(Ljj, A21.T, lower=True).T
+            L21 = _panel_solve(Ljj, A21)
             L = L.at[j0 + block :, j0 : j0 + block].set(L21)
             for c in range(j + 1, nb):
                 c0 = c * block
@@ -340,13 +371,19 @@ def titsias_elbo(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
     return titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon)[0]
 
 
-def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
+def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None, mask=None):
     """Collapsed Titsias ELBO *and* the sparse-posterior factors from one
     factorisation pass.
 
     The single source of the Titsias math: :func:`titsias_elbo` and the
     GP core's ``PseudoObs`` (``gp/core.py``) both delegate here, so the
     ELBO and the posterior can never drift apart.
+
+    ``mask`` (optional, (n,) of 0/1) excludes rows exactly: a masked row's
+    noise is treated as infinite (``D^{-1} -> 0``) and its logdet/count
+    contributions are zeroed — the same neutralisation the multi-chip path
+    uses for padding (``parallel/sharded.py``), reused by the scan-fused
+    fit to keep every layer's row count shape-uniform.
 
     Returns:
         ``(elbo, Lm, LB, beta)`` with ``Lm = chol(Kmm)``,
@@ -356,19 +393,33 @@ def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None):
         posterior mean/covariance are built from.
     """
     r = y - mean
-    d_isqrt = 1.0 / jnp.sqrt(noise_diag)
+    if mask is None:
+        d_inv = 1.0 / noise_diag
+        d_isqrt = jnp.sqrt(d_inv)
+        logdet_d = jnp.sum(jnp.log(noise_diag))
+        n_eff = y.shape[0]
+    else:
+        # Mask OUTSIDE the sqrt/reciprocal: ``sqrt(mask / noise)`` has an
+        # ``inf * 0 = NaN`` derivative at masked rows (sqrt'(0) is inf),
+        # which would poison the whole ELBO gradient and stall L-BFGS via
+        # its non-finite guard.  ``sqrt(1/noise) * mask`` is differentiable
+        # everywhere (noise > 0) and identical in value.
+        r = r * mask
+        d_isqrt = jnp.sqrt(1.0 / noise_diag) * mask
+        d_inv = mask / noise_diag
+        logdet_d = jnp.sum(jnp.log(noise_diag) * mask)
+        n_eff = jnp.sum(mask)
 
     Lm = safe_cholesky(Kmm, epsilon)
     # A = Lm^{-1} Kmn D^{-1/2}  (m, n)
     A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
     G = A @ A.T
     u = A @ (r * d_isqrt)
-    logdet_d = jnp.sum(jnp.log(noise_diag))
-    quad_diag = jnp.sum(r * r / noise_diag)
+    quad_diag = jnp.sum(r * r * d_inv)
     # trace term uses sum_i q_nn,i / d_i == tr(G) (column sums of A^2).
-    trace_knn = jnp.sum(knn_diag / noise_diag)
+    trace_knn = jnp.sum(knn_diag * d_inv)
     elbo, LB, beta = titsias_finish(
-        G, u, logdet_d, quad_diag, trace_knn, y.shape[0], Lm
+        G, u, logdet_d, quad_diag, trace_knn, n_eff, Lm
     )
     return elbo, Lm, LB, beta
 

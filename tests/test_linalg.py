@@ -223,6 +223,35 @@ def test_blocked_cholesky_matches_builtin():
         approx(L, jnp.linalg.cholesky(K), atol=1e-8)
 
 
+def test_tri_inv_lower():
+    from gpar_tpu.ops.linalg import tri_inv_lower
+
+    for n, base in [(16, 8), (96, 32), (128, 16)]:
+        L = jnp.asarray(np.tril(rng.normal(size=(n, n))) + 3 * np.eye(n))
+        got = tri_inv_lower(L, base=base)
+        approx(got @ L, jnp.eye(n), atol=1e-9)
+        # Strict upper triangle exactly zero (no fill-in).
+        assert not np.any(np.triu(np.asarray(got), 1))
+
+
+def test_blocked_cholesky_trsm_modes_agree():
+    # The TRSM-via-inverse panel solve (config.cholesky_trsm_inverse) and
+    # the direct TriangularSolve produce the same factor.
+    from gpar_tpu.ops.linalg import blocked_cholesky
+
+    K = jnp.asarray(_spd(160))
+    old = config.cholesky_trsm_inverse
+    try:
+        config.cholesky_trsm_inverse = True
+        L_inv = blocked_cholesky(K, block=32)
+        config.cholesky_trsm_inverse = False
+        L_dir = blocked_cholesky(K, block=32)
+    finally:
+        config.cholesky_trsm_inverse = old
+    approx(L_inv, L_dir, atol=1e-9)
+    approx(L_inv, jnp.linalg.cholesky(K), atol=1e-8)
+
+
 def test_blocked_cholesky_grad_matches_builtin():
     from gpar_tpu.ops.linalg import blocked_cholesky
 

@@ -243,3 +243,120 @@ def test_mesh_fit_predict_single_program():
     # sharded moment reduction inside L-BFGS -> small drift.
     np.testing.assert_allclose(m2, m1, atol=1e-2)
     assert np.isfinite(lo2).all() and np.isfinite(up2).all()
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded DENSE path (parallel/dense.py): distributed blocked Cholesky,
+# solves and the exact marginal likelihood (VERDICT r1 task 1).
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_dense_factors_match_single_device():
+    from gpar_tpu.ops import Linear
+    from gpar_tpu.ops.linalg import mvn_logpdf, safe_cholesky, solve_chol
+    from gpar_tpu.parallel.dense import sharded_dense_factors
+
+    mesh = _cpu_mesh()
+    for n in (96, 130):  # 130 exercises the padding path (not 8*16-aligned)
+        d = 2
+        x = jnp.asarray(rng.normal(size=(n, d)))
+        y = jnp.asarray(rng.normal(size=(n,)))
+        noise = jnp.asarray(rng.uniform(0.05, 0.2, size=(n,)))
+        kern = EQ().stretch(jnp.asarray([1.0, 0.7])) + Linear().stretch(
+            jnp.asarray([2.0, 2.0])
+        )
+
+        K = gram(kern, x, x) + jnp.diag(noise)
+        L_ref = safe_cholesky(K)
+        lp, L, alpha = sharded_dense_factors(kern, x, y, noise, mesh)
+        approx(lp, mvn_logpdf(y, jnp.zeros_like(y), K), atol=1e-8)
+        approx(L, L_ref, atol=1e-10)
+        approx(alpha, solve_chol(L_ref, y), atol=1e-8)
+
+
+def test_sharded_dense_grad_matches_single_device():
+    # The distributed custom VJP (rows of Sigma^{-1} via distributed
+    # triangular inversion) must reproduce the single-device gradients —
+    # this is the dense multi-chip training objective.
+    from gpar_tpu.ops.linalg import mvn_logpdf
+    from gpar_tpu.parallel.dense import sharded_dense_logpdf
+
+    mesh = _cpu_mesh()
+    n = 72
+    x = jnp.asarray(rng.normal(size=(n, 1)))
+    y = jnp.asarray(rng.normal(size=(n,)))
+    noise = jnp.full((n,), 0.1)
+
+    def f_sh(log_scale, yv):
+        kern = EQ().stretch(jnp.exp(log_scale))
+        return sharded_dense_logpdf(kern, x, yv, noise, mesh)
+
+    def f_ref(log_scale, yv):
+        kern = EQ().stretch(jnp.exp(log_scale))
+        K = gram(kern, x, x) + jnp.diag(noise)
+        return mvn_logpdf(yv, jnp.zeros_like(yv), K)
+
+    s0 = jnp.asarray(0.3)
+    g_sh = jax.grad(f_sh, argnums=(0, 1))(s0, y)
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(s0, y)
+    approx(g_sh[0], g_ref[0], atol=1e-8)
+    approx(g_sh[1], g_ref[1], atol=1e-8)
+
+
+def test_dense_obs_under_mesh_matches_single_device():
+    # The GP-core dispatch: Obs() under an active mesh must produce the
+    # same logpdf and the same posterior as the single-device branch.
+    import gpar_tpu
+    from gpar_tpu.gp import Obs, condition
+
+    n = 64
+    x = jnp.asarray(np.sort(rng.uniform(0, 5, n))[:, None])
+    y = jnp.asarray(np.sin(np.asarray(x)[:, 0]) + 0.05 * rng.standard_normal(n))
+    noise = jnp.full((n,), 0.1)
+    f = GP(1.3 * EQ().stretch(jnp.asarray([0.8])))
+    x_star = jnp.asarray(np.linspace(0, 5, 17)[:, None])
+
+    obs_ref = Obs(f(x, noise), y)
+    post_ref = condition(f, obs_ref)
+
+    with gpar_tpu.use_mesh(_cpu_mesh(), min_rows=8):
+        obs_sh = Obs(f(x, noise), y)
+        assert obs_sh.logpdf_val is not None  # really took the sharded path
+        post_sh = condition(f, obs_sh)
+        mean_sh = post_sh.mean_vec(x_star)
+        cov_sh = post_sh.cov(x_star)
+
+    approx(obs_sh.logpdf, obs_ref.logpdf, atol=1e-8)
+    approx(mean_sh, post_ref.mean_vec(x_star), atol=1e-8)
+    approx(cov_sh, post_ref.cov(x_star), atol=1e-8)
+
+
+def test_dense_estimator_under_mesh_end_to_end():
+    # Public-API dense (no inducing points) fit + logpdf under use_mesh vs
+    # single-device: the per-layer objectives now factorise the n x n
+    # covariance cooperatively across the 8 devices.
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    n, p = 96, 2
+    x = np.linspace(0, 8, n)
+    rng2 = np.random.default_rng(5)
+    y = np.stack([np.sin(x), np.cos(x)], axis=1)
+    y = y + 0.05 * rng2.standard_normal((n, p))
+
+    def run(active):
+        reg = GPARRegressor(noise=0.1, normalise_y=False)
+        if active:
+            with gpar_tpu.use_mesh(_cpu_mesh(), min_rows=8):
+                reg.fit(x, y, iters=10, key=jax.random.PRNGKey(0))
+                lp = reg.logpdf(x, y)
+        else:
+            reg.fit(x, y, iters=10, key=jax.random.PRNGKey(0))
+            lp = reg.logpdf(x, y)
+        return reg, lp
+
+    reg_s, lp_s = run(True)
+    reg_d, lp_d = run(False)
+    for name in reg_d.vs.names:
+        approx(reg_s.vs[name], reg_d.vs[name], atol=1e-4)
+    approx(lp_s, lp_d, atol=1e-4)
