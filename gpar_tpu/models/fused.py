@@ -1,0 +1,475 @@
+"""Scan-fused fit: every layer's L-BFGS through ONE compiled loop body.
+
+The round-1 fused fit (``regressor._build_fused_fit_body``) unrolls the
+p-layer chain in Python, instantiating one L-BFGS ``while_loop`` — and one
+copy of the whole objective HLO — per layer.  Compile time scales with p:
+the n=10k/p=16 benchmark paid ~610 s of cold XLA compilation
+(BENCH_r01.json).  This module makes the layer bodies *shape-uniform* so
+the unroll collapses into a single ``lax.scan`` whose body XLA compiles
+once:
+
+- **Uniform widths.** The augmented input buffer is allocated at its final
+  width ``W = m + p - 1`` up front; layer pi's active columns are selected
+  by a traced 0/1 *gate* vector (``ops.kernels.Gate``) instead of the
+  static per-layer ``select`` — a gated-out dimension contributes exactly
+  nothing to EQ/RQ distances, linear inner products, or periodic
+  embeddings (reference column routing: ``gpar/regression.py:176-179``).
+- **Uniform rows.** Layer row filtering (``per_output`` +
+  ``_obs``'s NaN drop, ``gpar/model.py:279-289``) becomes 0/1 row masks
+  over all n rows: masked rows get ``D^{-1} = 0`` in the Titsias ELBO
+  (``ops.linalg.titsias_factors(mask=...)``) or identity rows in the dense
+  covariance — the same exact neutralisation the multi-chip paths use for
+  padding, so the per-layer NLL equals the filtered computation to
+  rounding.
+- **Uniform parameters.** Each layer's hyperparameters are gathered from
+  the flat latent vector through per-layer index maps padded with a dummy
+  slot (latent 0 -> natural 1 after the positive transform; always gated
+  out), and constrained with the store's own transform rules
+  (``params.store``: lower + exp, scaled logistic) so the two paths cannot
+  drift.
+
+The scan body contains exactly one L-BFGS ``lax.while_loop`` plus one
+input-augmentation step (the resumable-inputs contract,
+``gpar/model.py:199-243``); per-layer masks, gates, gather maps, data
+columns and PRNG keys ride in as stacked scan inputs.
+
+Semantics are those of ``fit(fix=True)`` — the reference's fast path
+(``gpar/regression.py:423-432``): earlier layers are frozen while layer pi
+trains, then one augmentation step threads the (imputed/replaced) output
+column forward.  Oracle-tested equal to both the per-layer driver and the
+unrolled fused path.
+
+Current scope: single-device programs (an active ``use_mesh`` falls back
+to the unrolled fused body, which shards); all kernel options (rq, per,
+input_linear, markov, scale_tie), sparse + dense, impute/replace, missing
+data, and vmapped restarts are supported.
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel, gram, kdiag
+from ..ops.linalg import (
+    resolve_epsilon,
+    safe_cholesky,
+    solve_chol,
+    solve_lower,
+    mvn_logpdf_chol,
+    titsias_factors,
+)
+from ..params.optim import lbfgs_traced_restarts
+from ..params.store import _Bounded, _Identity, _LowerBounded
+
+__all__ = ["ScanFitPlan", "build_scan_fit_plan"]
+
+
+# Constrained transforms per field, shared with the store (single source:
+# params/store.py applies the identical rules when the per-layer model
+# generators run).
+_POS = _LowerBounded(0.0)
+_NOISE = _LowerBounded(1e-8)
+_ALPHA = _Bounded(1e-3, 1e3)
+_ID = _Identity()
+
+
+@dataclass
+class ScanFitPlan:
+    """Host-side precomputed plan for the scan-fused fit (static per
+    (dataset, model config))."""
+
+    m: int
+    p: int
+    W: int  # augmented buffer width m + p (last column is gated scratch:
+    # the uniform scan body writes an augmentation column after EVERY
+    # layer, including the last, whose write lands in the scratch column)
+    n: int
+    s_max: int  # padded per-layer latent span
+    n_z: int  # total latents (dummy slot index)
+    xs: dict  # stacked per-layer scan inputs (numpy)
+    config: dict  # model_config (static switches read at trace time)
+    sparse: bool
+    impute: bool
+    replace: bool
+
+
+def _name_offsets(vs, all_names):
+    offsets = {}
+    off = 0
+    for name in all_names:
+        size = int(np.prod(vs._latents[name].shape))
+        offsets[name] = (off, size)
+        off += size
+    return offsets, off
+
+
+def _field_idx(offsets, name, actual, padded, dummy, shift=0):
+    """Index map of a (possibly absent/short) variable into the flat latent
+    vector, padded with the dummy slot."""
+    idx = np.full(padded, dummy, dtype=np.int32)
+    if name in offsets and actual > 0:
+        off, size = offsets[name]
+        assert size == actual, (name, size, actual)
+        idx[shift : shift + actual] = np.arange(off, off + actual, dtype=np.int32)
+    return idx
+
+
+def build_scan_fit_plan(reg, all_names):
+    """Build the per-layer stacked scan inputs from the regressor's data
+    caches and variable store (everything here is concrete NumPy)."""
+    cfg = reg.model_config
+    m, p, n = reg.m, reg.p, reg.n
+    W = m + p  # p - 1 real output columns + one gated scratch column
+    dtype = np.dtype(np.asarray(reg.x).dtype)
+
+    offsets, n_z = _name_offsets(reg.vs, all_names)
+    dummy = n_z
+
+    y_np = np.asarray(reg.y)
+    w_np = np.asarray(reg.w)
+    avail = ~np.isnan(y_np)
+
+    # Absolute row masks: the cumulative per_output routing
+    # (``gpar/model.py:325-368``) composed onto the original n rows.
+    keep = bool(reg.impute)
+    route = np.ones(n, dtype=bool)
+    route_mask = np.zeros((p, n), dtype=bool)
+    for pi in range(p):
+        if keep and pi < p - 1:
+            layer_keep = avail[:, pi] | avail[:, pi + 1 :].any(axis=1)
+        else:
+            layer_keep = avail[:, pi]
+        route = route & layer_keep
+        route_mask[pi] = route
+    obs_mask = route_mask & avail.T  # (p, n)
+
+    # Per-layer latent spans (the names=[f"{pi}/*"] filter,
+    # ``gpar/regression.py:452-456``) padded to a uniform length.
+    spans = []
+    for pi in range(p):
+        names_pi = reg.vs.select([f"{pi}/*"])
+        idx = np.concatenate(
+            [
+                np.arange(offsets[nm][0], offsets[nm][0] + offsets[nm][1])
+                for nm in names_pi
+            ]
+        ).astype(np.int32)
+        spans.append(idx)
+    s_max = max(len(s) for s in spans)
+    layer_gather = np.full((p, s_max), dummy, dtype=np.int32)
+    for pi, s in enumerate(spans):
+        layer_gather[pi, : len(s)] = s
+
+    # Per-layer field gather maps + gates.
+    from .regressor import _determine_indices
+
+    P1 = W - m  # padded output-column count (incl. the scratch column)
+    xs = {
+        "layer_gather": layer_gather,
+        "route_mask": route_mask.astype(dtype),
+        "obs_mask": obs_mask.astype(dtype),
+        "avail": avail.T.astype(dtype),  # (p, n)
+        "y_col": np.nan_to_num(y_np, nan=0.0).T.astype(dtype),  # (p, n)
+        "w_col": w_np.T.astype(dtype),  # (p, n)
+        "in_var": np.zeros((p,), np.int32),
+        "in_scales": np.zeros((p, m), np.int32),
+        "noise": np.zeros((p,), np.int32),
+        "out_gate": np.zeros((p, P1), dtype),
+        "nl_gate": np.zeros((p,), dtype),
+        "outlin_scales": np.zeros((p, P1), np.int32),
+        "outnl_var": np.zeros((p,), np.int32),
+        "outnl_scales": np.zeros((p, P1), np.int32),
+    }
+    if cfg["rq"]:
+        xs["in_alpha"] = np.zeros((p,), np.int32)
+        xs["outnl_alpha"] = np.zeros((p,), np.int32)
+    if cfg["per"]:
+        xs["per_var"] = np.zeros((p,), np.int32)
+        xs["per_scales"] = np.zeros((p, 2 * m), np.int32)
+        xs["per_pers"] = np.zeros((p, m), np.int32)
+        xs["per_decay"] = np.zeros((p, m), np.int32)
+    if cfg["input_linear"]:
+        xs["inlin_scales"] = np.zeros((p, m), np.int32)
+        xs["inlin_const"] = np.zeros((p,), np.int32)
+
+    for pi in range(p):
+        _, p_inds, p_num = _determine_indices(m, pi, cfg["markov"])
+        p_start = (p_inds[0] - m) if p_num > 0 else 0
+
+        xs["in_var"][pi] = _field_idx(offsets, f"{pi}/input/var", 1, 1, dummy)[0]
+        scales_name = f"{0 if cfg['scale_tie'] else pi}/input/scales"
+        xs["in_scales"][pi] = _field_idx(offsets, scales_name, m, m, dummy)
+        xs["noise"][pi] = _field_idx(offsets, f"{pi}/noise", 1, 1, dummy)[0]
+        if cfg["rq"]:
+            xs["in_alpha"][pi] = _field_idx(
+                offsets, f"{pi}/input/alpha", 1, 1, dummy
+            )[0]
+            xs["outnl_alpha"][pi] = _field_idx(
+                offsets, f"{pi}/output/nonlin/alpha", 1, 1, dummy
+            )[0]
+        if cfg["per"]:
+            xs["per_var"][pi] = _field_idx(
+                offsets, f"{pi}/input/per/var", 1, 1, dummy
+            )[0]
+            xs["per_scales"][pi] = _field_idx(
+                offsets, f"{pi}/input/per/scales", 2 * m, 2 * m, dummy
+            )
+            xs["per_pers"][pi] = _field_idx(
+                offsets, f"{pi}/input/per/pers", m, m, dummy
+            )
+            xs["per_decay"][pi] = _field_idx(
+                offsets, f"{pi}/input/per/decay", m, m, dummy
+            )
+        if cfg["input_linear"]:
+            xs["inlin_scales"][pi] = _field_idx(
+                offsets, f"{pi}/input/lin/scales", m, m, dummy
+            )
+            xs["inlin_const"][pi] = _field_idx(
+                offsets, f"{pi}/input/lin/const", 1, 1, dummy
+            )[0]
+
+        if p_num > 0:
+            xs["out_gate"][pi, p_start : p_start + p_num] = 1.0
+            if cfg["linear"]:
+                xs["outlin_scales"][pi] = _field_idx(
+                    offsets,
+                    f"{pi}/output/lin/scales",
+                    p_num,
+                    P1,
+                    dummy,
+                    shift=p_start,
+                )
+            if cfg["nonlinear"]:
+                xs["nl_gate"][pi] = 1.0
+                xs["outnl_var"][pi] = _field_idx(
+                    offsets, f"{pi}/output/nonlin/var", 1, 1, dummy
+                )[0]
+                xs["outnl_scales"][pi] = _field_idx(
+                    offsets,
+                    f"{pi}/output/nonlin/scales",
+                    p_num,
+                    P1,
+                    dummy,
+                    shift=p_start,
+                )
+
+    xs["col"] = np.arange(p, dtype=np.int32)  # output column index per layer
+
+    return ScanFitPlan(
+        m=m,
+        p=p,
+        W=W,
+        n=n,
+        s_max=s_max,
+        n_z=n_z,
+        xs=xs,
+        config=dict(cfg),
+        sparse=reg.sparse,
+        impute=bool(reg.impute),
+        replace=bool(reg.replace),
+    )
+
+
+def _layer_kernel(plan, lin, z_full):
+    """Build layer ``pi``'s prior kernel from gathered traced parameters —
+    the shape-uniform equivalent of ``_model_generator``'s composition
+    (``gpar/regression.py:92-180``), with gates replacing the static
+    ``select``."""
+    cfg = plan.config
+    m, P1, W = plan.m, plan.W - plan.m, plan.W
+
+    def nat(tr, idx):
+        return tr.constrain(z_full[idx])
+
+    ones_p1 = jnp.ones((P1,), z_full.dtype)
+    ones_m = jnp.ones((m,), z_full.dtype)
+    gate_in = jnp.concatenate([ones_m, jnp.zeros((P1,), z_full.dtype)])
+    gate_out = jnp.concatenate([jnp.zeros((m,), z_full.dtype), lin["out_gate"]])
+
+    # Input terms (first m dims; padded dims gated to zero).
+    in_scales = jnp.concatenate([nat(_POS, lin["in_scales"]), ones_p1])
+    if cfg["rq"]:
+        base_in = RQ(nat(_ALPHA, lin["in_alpha"]))
+    else:
+        base_in = EQ()
+    kin = nat(_POS, lin["in_var"]) * base_in.stretch(in_scales)
+    if cfg["per"]:
+        per_scales = jnp.concatenate(
+            [nat(_POS, lin["per_scales"]), jnp.ones((2 * P1,), z_full.dtype)]
+        )
+        per_pers = jnp.concatenate([nat(_POS, lin["per_pers"]), ones_p1])
+        per_decay = jnp.concatenate([nat(_POS, lin["per_decay"]), ones_p1])
+        kin = kin + nat(_POS, lin["per_var"]) * EQ().stretch(per_scales).periodic(
+            per_pers
+        ) * EQ().stretch(per_decay)
+    if cfg["input_linear"]:
+        inlin_scales = jnp.concatenate([nat(_POS, lin["inlin_scales"]), ones_p1])
+        kin = kin + Linear().stretch(inlin_scales) + Const(
+            nat(_ID, lin["inlin_const"])
+        )
+    kernel = kin.gate(gate_in)
+
+    # Output terms (appended columns; per-layer gate honours the Markov
+    # order; the nonlinear variance is gated because EQ/RQ of all-zero
+    # inputs is 1, not 0).
+    if cfg["linear"]:
+        outlin_scales = jnp.concatenate(
+            [ones_m, nat(_POS, lin["outlin_scales"])]
+        )
+        kernel = kernel + Linear().stretch(outlin_scales).gate(gate_out)
+    if cfg["nonlinear"]:
+        outnl_scales = jnp.concatenate(
+            [ones_m, nat(_POS, lin["outnl_scales"])]
+        )
+        if cfg["rq"]:
+            base_out = RQ(nat(_ALPHA, lin["outnl_alpha"]))
+        else:
+            base_out = EQ()
+        kernel = kernel + (lin["nl_gate"] * nat(_POS, lin["outnl_var"])) * (
+            base_out.stretch(outnl_scales).gate(gate_out)
+        )
+
+    noise = nat(_NOISE, lin["noise"])
+    return kernel, noise
+
+
+def _masked_dense_factors(K, r, mask, noise_w, eps):
+    """Exact masked dense marginal likelihood + posterior mean weights.
+
+    Masked rows are replaced by identity rows (the construction used by
+    ``parallel/dense.py`` for padding): they contribute exactly nothing to
+    the logdet, the quadratic form, or ``alpha``.  ``safe_cholesky`` adds
+    ``eps`` to the whole diagonal, so masked diagonals pre-subtract it to
+    land exactly at 1.
+    """
+    n = K.shape[0]
+    A = K * (mask[:, None] * mask[None, :])
+    diag_fix = mask * noise_w + (1.0 - mask) * (1.0 - eps)
+    A = A + jnp.diag(diag_fix)
+    L = safe_cholesky(A)
+    rm = r * mask
+    v = solve_lower(L, rm)
+    n_eff = jnp.sum(mask)
+    from ..ops.linalg import LOG_2PI
+
+    logpdf = (
+        -0.5 * n_eff * LOG_2PI
+        - jnp.sum(jnp.log(jnp.diagonal(L)) * mask)
+        - 0.5 * jnp.sum(v * v)
+    )
+    alpha = solve_chol(L, rm)
+    return logpdf, alpha
+
+
+def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_scale):
+    """The traced scan-fused whole-fit body ``(z_all, x, layer_keys) ->
+    (z_final, layer_nll, layer_iters, layer_nll0)`` — same contract as
+    ``regressor._build_fused_fit_body`` but one compiled layer body."""
+    m, p, W, n = plan.m, plan.p, plan.W, plan.n
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def program(z_all, x, layer_keys):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        if sparse:
+            zi = jnp.asarray(x_ind, dtype=dtype)
+            n_ind = zi.shape[0]
+            zi_aug = jnp.concatenate(
+                [zi, jnp.zeros((n_ind, W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug = jnp.zeros((0, W), dtype)
+
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["key"] = layer_keys
+
+        def layer_nll_and_factors(lin, z_full, x_aug, zi_aug):
+            kernel, noise = _layer_kernel(plan, lin, z_full)
+            noise_w = noise / lin["w_col"]
+            omask = lin["obs_mask"]
+            r = lin["y_col"]  # zero-filled; masked rows neutralised
+            if sparse:
+                Kmm = gram(kernel, zi_aug, zi_aug)
+                Kmn = gram(kernel, zi_aug, x_aug)
+                knn = kdiag(kernel, x_aug)
+                elbo, Lm, LB, beta = titsias_factors(
+                    Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
+                )
+                return -elbo, (Kmm, Kmn, beta)
+            K = gram(kernel, x_aug, x_aug)
+            logpdf, alpha = _masked_dense_factors(K, r, omask, noise_w, eps)
+            return -logpdf, (K, alpha)
+
+        def step(carry, lin):
+            z_ext, x_aug, zi_aug = carry
+
+            def obj(z_pi):
+                z_full = z_ext.at[lin["layer_gather"]].set(z_pi)
+                nll, _ = layer_nll_and_factors(lin, z_full, x_aug, zi_aug)
+                return nll
+
+            z0_pi = z_ext[lin["layer_gather"]]
+            z_pi_opt, nll_pi, it_pi, nll0_pi = lbfgs_traced_restarts(
+                obj,
+                z0_pi,
+                lin["key"],
+                restarts,
+                restart_scale=restart_scale,
+                iters=iters,
+                gtol=gtol,
+                memory_size=memory_size,
+            )
+            z_ext = z_ext.at[lin["layer_gather"]].set(z_pi_opt)
+            z_ext = z_ext.at[-1].set(0.0)
+
+            # One augmentation step (the resumable-inputs contract,
+            # ``gpar/model.py:291-322``): posterior-mean estimates fill the
+            # next input column per the impute/replace rules.
+            z_full = z_ext.at[lin["layer_gather"]].set(z_pi_opt)
+            _, factors = layer_nll_and_factors(lin, z_full, x_aug, zi_aug)
+            if sparse:
+                Kmm, Kmn, beta = factors
+                est_rows = Kmn.T @ beta  # posterior mean at all n rows
+                est_ind = Kmm @ beta  # ... and at the inducing points
+            else:
+                K, alpha = factors
+                est_rows = K @ alpha
+                est_ind = None
+
+            avail = lin["avail"]
+            y_col = lin["y_col"]
+            if plan.impute and plan.replace:
+                y_next = est_rows
+            elif plan.impute:
+                y_next = jnp.where(avail > 0, y_col, est_rows)
+            elif plan.replace:
+                y_next = jnp.where(avail > 0, est_rows, y_col)
+            else:
+                y_next = y_col
+
+            col = m + lin["col"]
+            x_aug = lax.dynamic_update_slice(
+                x_aug, y_next[:, None], (jnp.int32(0), jnp.asarray(col, jnp.int32))
+            )
+            if sparse:
+                zi_aug = lax.dynamic_update_slice(
+                    zi_aug,
+                    est_ind[:, None],
+                    (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+                )
+            return (z_ext, x_aug, zi_aug), (nll_pi, it_pi, nll0_pi)
+
+        (z_ext, _, _), (layer_nll, layer_iters, layer_nll0) = lax.scan(
+            step, (z_ext, x_aug, zi_aug), xs
+        )
+        return z_ext[:-1], layer_nll, layer_iters, layer_nll0
+
+    return program

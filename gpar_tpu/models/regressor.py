@@ -657,7 +657,7 @@ class GPARRegressor:
                         obs = Obs(f(x_aug, noise / w_t), y_t)
                     return -obs.logpdf
 
-                _, nll, _ = lbfgs_traced(
+                _, nll, _, _ = lbfgs_traced(
                     obj, z0, iters=iters, gtol=gtol, memory_size=memory_size
                 )
                 return nll
@@ -678,7 +678,7 @@ class GPARRegressor:
         # it also forces the per-layer driver, whose progress output would
         # be invisible inside one fused program.
         trace = kw_args.get("trace", False)
-        if fix and fused and not trace and kw_args.get("jit", True):
+        if fused and not trace and kw_args.get("jit", True):
             iters = kw_args.pop("iters", 1000)
             gtol = kw_args.pop("gtol", 1e-9)
             memory_size = kw_args.pop("memory_size", 10)
@@ -704,6 +704,8 @@ class GPARRegressor:
                 restarts=restarts,
                 restart_scale=restart_scale,
                 key=key,
+                scan=fix and self._use_scan_body(fused),
+                fix=fix,
             )
             return
 
@@ -799,6 +801,20 @@ class GPARRegressor:
                 minimise_l_bfgs_b(objective, self.vs, names=names, **layer_kw)
             )
 
+    def _use_scan_body(self, fused):
+        """Whether the fused fit should use the scan (shape-uniform) body.
+
+        ``fused=True``/``"scan"`` -> scan, unless a mesh is active (the
+        scan body is single-device; the unrolled body shards its per-layer
+        statistics over the mesh).  ``fused="unroll"`` forces the
+        round-1 unrolled body (oracle/fallback path).
+        """
+        if fused == "unroll":
+            return False
+        from ..config import config as _cfg
+
+        return _cfg.mesh is None
+
     def _fit_fixed_fused(
         self,
         y_cached,
@@ -809,8 +825,10 @@ class GPARRegressor:
         restarts=1,
         restart_scale=1.0,
         key=None,
+        scan=True,
+        fix=True,
     ):
-        """The whole fix=True fit as one jitted program.
+        """The whole fit as one jitted program (fix=True or fix=False).
 
         Per layer pi: L-BFGS (``lbfgs_traced``, a lax.while_loop) on
         -logpdf of layer pi given the incrementally-threaded augmented
@@ -819,6 +837,11 @@ class GPARRegressor:
         fix=True freezes earlier layers, threading inputs forward is exactly
         equivalent to the reference's full-chain recomputation per layer
         (``gpar/regression.py:423-432``).
+
+        With ``fix=False`` (the Jura workload), layer pi's objective is the
+        FULL chain logpdf re-evaluated from the raw inputs, optimising all
+        latents ``{0..pi}/*`` jointly (``gpar/regression.py:452-456``) —
+        see :meth:`_build_free_fused_fit_body`.
 
         ``restarts > 1`` vmaps each layer's L-BFGS over one unperturbed
         plus ``restarts - 1`` perturbed inits and keeps the best optimum
@@ -829,12 +852,11 @@ class GPARRegressor:
         if restarts > 1 and key is None:
             key = next_key()
         layer_keys = self._fit_layer_keys(key, restarts)
-        program = self._build_fused_fit_body(
-            y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
-        )
 
         cache_key = (
             "fit_fused",
+            scan,
+            fix,
             self.n,
             self.m,
             p,
@@ -848,20 +870,34 @@ class GPARRegressor:
         )
         fit_fn = self._jit_cache.get(cache_key)
         if fit_fn is None:
+            program = self._build_fit_body(
+                y_cached,
+                all_names,
+                iters,
+                gtol,
+                memory_size,
+                restarts,
+                restart_scale,
+                scan,
+                fix,
+            )
             fit_fn = jax.jit(program)
             self._jit_cache[cache_key] = fit_fn
         import time as _time
 
         t0 = _time.time()
-        z_final, layer_nll, layer_iters = fit_fn(
+        z_final, layer_nll, layer_iters, layer_nll0 = fit_fn(
             self.vs.latent_vector(all_names), self.x, layer_keys
         )
         jax.block_until_ready(z_final)
         self.vs.set_latent_vector(all_names, z_final)
         # Structured fit observability (SURVEY.md §5: the reference logs
-        # nothing beyond a progress bar).
+        # nothing beyond a progress bar).  ``layer_nll0`` is the NLL at the
+        # initial hyperparameters, so ``layer_nll0 - layer_nll`` is the
+        # per-layer optimisation gain (reported by bench.py's quality line).
         self.last_fit_report = {
             "layer_nll": np.asarray(layer_nll),
+            "layer_nll0": np.asarray(layer_nll0),
             "layer_iters": np.asarray(layer_iters),
             "wall_clock_s": _time.time() - t0,
             "fused": True,
@@ -874,6 +910,38 @@ class GPARRegressor:
         if restarts > 1:
             return jax.random.split(key, self.p)
         return jnp.zeros((self.p, 2), dtype=jnp.uint32)
+
+    def _build_fit_body(
+        self,
+        y_cached,
+        all_names,
+        iters,
+        gtol,
+        memory_size,
+        restarts,
+        restart_scale,
+        scan,
+        fix=True,
+    ):
+        """Whole-fit body builder: the scan (shape-uniform, one compiled
+        layer body — ``models/fused.py``), the round-1 unrolled variant
+        (one body per layer; shards under an active mesh), or the
+        free (fix=False) full-chain variant."""
+        if not fix:
+            return self._build_free_fused_fit_body(
+                y_cached, all_names, iters, gtol, memory_size, restarts,
+                restart_scale,
+            )
+        if scan:
+            from .fused import build_scan_fit_plan, make_scan_fit_body
+
+            plan = build_scan_fit_plan(self, all_names)
+            return make_scan_fit_body(
+                plan, self.x_ind, iters, gtol, memory_size, restarts, restart_scale
+            )
+        return self._build_fused_fit_body(
+            y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
+        )
 
     def _build_fused_fit_body(
         self, y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
@@ -902,7 +970,7 @@ class GPARRegressor:
 
         def program(z_all, x, layer_keys):
             fixed_x, fixed_x_ind = x, self.x_ind
-            layer_nll, layer_iters = [], []
+            layer_nll, layer_iters, layer_nll0 = [], [], []
             for pi in range(p):
                 idx = layer_idx[pi]
 
@@ -919,7 +987,7 @@ class GPARRegressor:
                         x_ind=fixed_x_ind,
                     )
 
-                z_pi_opt, nll_pi, it_pi = lbfgs_traced_restarts(
+                z_pi_opt, nll_pi, it_pi, nll0_pi = lbfgs_traced_restarts(
                     obj,
                     z_all[idx],
                     layer_keys[pi],
@@ -931,6 +999,7 @@ class GPARRegressor:
                 )
                 layer_nll.append(nll_pi)
                 layer_iters.append(it_pi)
+                layer_nll0.append(nll0_pi)
                 z_all = z_all.at[idx].set(z_pi_opt)
 
                 if pi < p - 1:
@@ -950,7 +1019,82 @@ class GPARRegressor:
                         x_ind=fixed_x_ind,
                         return_inputs=True,
                     )
-            return z_all, jnp.stack(layer_nll), jnp.stack(layer_iters)
+            return (
+                z_all,
+                jnp.stack(layer_nll),
+                jnp.stack(layer_iters),
+                jnp.stack(layer_nll0),
+            )
+
+        return program
+
+    def _build_free_fused_fit_body(
+        self, y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
+    ):
+        """The traced whole-fit body for ``fit(fix=False)``.
+
+        Reference semantics (``gpar/regression.py:452-456``): at layer pi
+        the objective is the FULL chain marginal likelihood of layers
+        ``0..pi`` re-evaluated from the raw inputs (so earlier layers'
+        hyperparameters keep moving and the impute/replace augmentation is
+        recomputed inside every objective evaluation), optimising all
+        latents ``{0..pi}/*`` jointly.  Same contract as
+        :meth:`_build_fused_fit_body`; the reported ``layer_nll`` is the
+        full-chain NLL (matching what the per-layer driver's
+        ``minimise_l_bfgs_b`` returns on this path).
+
+        Compile-size note: the traced program contains the layer-0..pi
+        chain once per layer — O(p^2/2) layer bodies.  The reference
+        workload using fix=False (Jura) has p=3; for large p prefer
+        ``fix=True`` (the reference's fast path) or ``fused=False``.
+        """
+        p, m = self.p, self.m
+
+        offsets = {}
+        off = 0
+        for name in all_names:
+            size = int(np.prod(self.vs._latents[name].shape))
+            offsets[name] = (off, size)
+            off += size
+        prefix_idx = []
+        for pi in range(p):
+            names_pi = self.vs.select([f"{i}/*" for i in range(pi + 1)])
+            idx = np.concatenate(
+                [np.arange(offsets[n][0], offsets[n][0] + offsets[n][1]) for n in names_pi]
+            ).astype(np.int64)
+            prefix_idx.append(jnp.asarray(idx))
+
+        def program(z_all, x, layer_keys):
+            layer_nll, layer_iters, layer_nll0 = [], [], []
+            for pi in range(p):
+                idx = prefix_idx[pi]
+
+                def obj(z_sub, z_all=z_all, pi=pi, idx=idx):
+                    z_full = z_all.at[idx].set(z_sub)
+                    view = self.vs.with_latent_vector(all_names, z_full)
+                    gpar = _construct_gpar(self, view, m, pi + 1)
+                    return -gpar.logpdf(x, y_cached, None, only_last_layer=False)
+
+                z_sub_opt, nll_pi, it_pi, nll0_pi = lbfgs_traced_restarts(
+                    obj,
+                    z_all[idx],
+                    layer_keys[pi],
+                    restarts,
+                    restart_scale=restart_scale,
+                    iters=iters,
+                    gtol=gtol,
+                    memory_size=memory_size,
+                )
+                layer_nll.append(nll_pi)
+                layer_iters.append(it_pi)
+                layer_nll0.append(nll0_pi)
+                z_all = z_all.at[idx].set(z_sub_opt)
+            return (
+                z_all,
+                jnp.stack(layer_nll),
+                jnp.stack(layer_iters),
+                jnp.stack(layer_nll0),
+            )
 
         return program
 
@@ -996,10 +1140,12 @@ class GPARRegressor:
         memory_size = kw_args.pop("memory_size", 10)
         restarts = kw_args.pop("restarts", 1)
         restart_scale = kw_args.pop("restart_scale", 1.0)
+        fused = kw_args.pop("fused", True)
         if kw_args:
             raise TypeError(
                 "Unsupported fit_predict() options: " + ", ".join(sorted(kw_args))
             )
+        scan = self._use_scan_body(fused)
 
         if key is None:
             key = next_key()
@@ -1011,14 +1157,17 @@ class GPARRegressor:
         else:
             w_test = self._permute_outputs(_uprank(_to_jnp(w_test)))
 
-        fit_body = self._build_fused_fit_body(
-            y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
+        fit_body = self._build_fit_body(
+            y_cached, all_names, iters, gtol, memory_size, restarts,
+            restart_scale, scan,
         )
 
         from .gpar import _sample_chain
 
         def program(z0, x_arr, x_test, w_test, keys, layer_keys):
-            z_final, layer_nll, layer_iters = fit_body(z0, x_arr, layer_keys)
+            z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                z0, x_arr, layer_keys
+            )
             view = self.vs.with_latent_vector(all_names, z_final)
             gpar = _construct_gpar(self, view, self.m, self.p)
             gpar = gpar | (x_arr, y_cached, None)
@@ -1045,10 +1194,11 @@ class GPARRegressor:
             mean = jnp.mean(batch, axis=0)
             lowers = jnp.percentile(batch, 2.5, axis=0)
             uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
-            return z_final, layer_nll, layer_iters, mean, lowers, uppers
+            return z_final, layer_nll, layer_iters, layer_nll0, mean, lowers, uppers
 
         cache_key = (
             "fit_predict",
+            scan,
             self.n,
             self.m,
             self.p,
@@ -1071,13 +1221,14 @@ class GPARRegressor:
         import time as _time
 
         t0 = _time.time()
-        z_final, layer_nll, layer_iters, mean, lowers, uppers = fn(
+        z_final, layer_nll, layer_iters, layer_nll0, mean, lowers, uppers = fn(
             self.vs.latent_vector(all_names), self.x, x_test, w_test, keys, layer_keys
         )
         jax.block_until_ready(mean)
         self.vs.set_latent_vector(all_names, z_final)
         self.last_fit_report = {
             "layer_nll": np.asarray(layer_nll),
+            "layer_nll0": np.asarray(layer_nll0),
             "layer_iters": np.asarray(layer_iters),
             "wall_clock_s": _time.time() - t0,
             "fused": True,

@@ -38,6 +38,7 @@ __all__ = [
     "Stretch",
     "Periodic",
     "Select",
+    "Gate",
     "gram",
     "kdiag",
     "sq_dists",
@@ -106,6 +107,16 @@ class Kernel:
         """Restrict the kernel to a subset of input columns
         (``gpar/regression.py:178``)."""
         return Select(self, tuple(int(i) for i in inds))
+
+    def gate(self, gates):
+        """Multiply input columns by a (traced) 0/1 gate vector — the
+        shape-uniform analogue of :meth:`select`: a gated-out dimension
+        contributes exactly nothing to EQ/RQ distances, linear inner
+        products, or periodic embeddings, but the input width stays fixed.
+        This is what lets the fused fit run all layers through ONE
+        ``lax.scan`` body (different layers = different gate values, same
+        shapes) instead of one compiled body per layer."""
+        return Gate(self, _asparam(gates))
 
     # -- evaluation -------------------------------------------------------
     def __call__(self, x, y=None):
@@ -212,6 +223,15 @@ class Select(Kernel):
 _register(Select, meta_fields=("inds",))
 
 
+@_register
+@dataclass(frozen=True)
+class Gate(Kernel):
+    """Input rewrite ``x -> x * gates`` (see :meth:`Kernel.gate`)."""
+
+    k: Kernel
+    gates: jnp.ndarray
+
+
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------
@@ -301,6 +321,8 @@ def gram_eval(k, x, y):
     if isinstance(k, Select):
         inds = np.asarray(k.inds, dtype=np.int64)
         return gram_eval(k.k, x[:, inds], y[:, inds])
+    if isinstance(k, Gate):
+        return gram_eval(k.k, x * k.gates, y * k.gates)
     if isinstance(k, EQ):
         return jnp.exp(-0.5 * sq_dists(x, y))
     if isinstance(k, RQ):
@@ -336,6 +358,8 @@ def kdiag(k, x):
     if isinstance(k, Select):
         inds = np.asarray(k.inds, dtype=np.int64)
         return kdiag(k.k, x[:, inds])
+    if isinstance(k, Gate):
+        return kdiag(k.k, x * k.gates)
     if isinstance(k, (EQ, RQ)):
         return jnp.ones(x.shape[0], dtype=x.dtype)
     if isinstance(k, Linear):

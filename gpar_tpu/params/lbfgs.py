@@ -89,7 +89,9 @@ def lbfgs_minimize(
     max_linesearch=25,
     c1=1e-4,
 ):
-    """Minimise ``fun`` from ``z0``; returns ``(z, f, iterations_used)``.
+    """Minimise ``fun`` from ``z0``; returns ``(z, f, iterations_used, f0)``
+    with ``f0`` the objective at ``z0`` (already evaluated to seed the
+    loop; returning it lets fit reports show the NLL *decrease* for free).
 
     Armijo backtracking (factor 0.5); curvature pairs with
     ``s.y <= 1e-10 |s||y|`` are skipped (standard damped-memory guard so
@@ -189,4 +191,4 @@ def lbfgs_minimize(
     ok = jnp.isfinite(st.f) & jnp.all(jnp.isfinite(st.z))
     z = jnp.where(ok, st.z, z0)
     f = jnp.where(ok, st.f, f0)
-    return z, f, st.it
+    return z, f, st.it, f0

@@ -30,9 +30,11 @@ def lbfgs_traced(fun, z0, iters=1000, gtol=1e-9, memory_size=10):
     zoom-linesearch stack, which keeps whole-fit compile times sane.
 
     Returns:
-        (z_opt, value, iters_used): final iterate (guarded against
+        (z_opt, value, iters_used, value0): final iterate (guarded against
         non-finite results — falls back to ``z0``), final objective value,
-        and the number of iterations taken.
+        the number of iterations taken, and the initial objective value
+        (free — the loop seeds from it; fit reports use it to show the
+        NLL decrease).
     """
     from .lbfgs import lbfgs_minimize
 
@@ -68,13 +70,14 @@ def lbfgs_traced_restarts(
         key, (restarts - 1, z0.shape[0]), dtype=z0.dtype
     )
     z0s = jnp.concatenate([z0[None], z0[None] + noise], axis=0)
-    zs, fs, its = jax.vmap(
+    zs, fs, its, f0s = jax.vmap(
         lambda z: lbfgs_traced(
             fun, z, iters=iters, gtol=gtol, memory_size=memory_size
         )
     )(z0s)
     best = jnp.argmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
-    return zs[best], fs[best], its[best]
+    # f0 of the *unperturbed* init — the reference-comparable starting NLL.
+    return zs[best], fs[best], its[best], f0s[0]
 
 
 def minimise_l_bfgs_b(
@@ -139,7 +142,15 @@ def minimise_l_bfgs_b(
         # optax is only needed for the host-side trace driver; the
         # production paths use the from-scratch lbfgs (params/lbfgs.py),
         # keeping the package's hard dependencies to jax + numpy.
-        import optax
+        try:
+            import optax
+        except ImportError as e:
+            raise ImportError(
+                "trace=True uses optax's zoom-linesearch L-BFGS for the "
+                "host-side per-iteration trace driver, and optax is not "
+                "installed. Install the [test] extra (or optax), or drop "
+                "trace= to use the built-in fused optimiser."
+            ) from e
 
         opt = optax.lbfgs(memory_size=memory_size)
         value_and_grad = optax.value_and_grad_from_state(fun)
@@ -187,6 +198,6 @@ def minimise_l_bfgs_b(
 
     if jit:
         run = jax.jit(run)
-    z, value, _ = run(z0, key)
+    z, value, _, _ = run(z0, key)
     vs.set_latent_vector(sel, z)
     return float(value)
