@@ -45,8 +45,29 @@ def _tracing_active():
         return False  # fail open: behave like the pre-guard code
 
 
+def _concrete_np(a, what):
+    """Host NumPy view of ``a``, raising a clear error if ``a`` is traced.
+
+    GPAR's closed-downwards row routing is host-side mask planning (static
+    shapes, SURVEY.md §7 "hard parts"); it can only depend on *concrete*
+    data.  Under jit, observations must be closed-over constants (the
+    regressor does this) or replayed from the precomputed ``per_output``
+    cache — a traced ``y``/mask would otherwise surface as an opaque
+    ``TracerArrayConversionError`` deep inside NumPy.
+    """
+    try:
+        return np.asarray(a)
+    except Exception as e:
+        raise ValueError(
+            f"{what} must be concrete (host-side) data but is a "
+            "jit/vmap/grad tracer. GPAR's row routing is static host-side "
+            "mask planning: trace hyperparameters, not observations — or "
+            "pass the precomputed per_output cache (dict overload)."
+        ) from e
+
+
 def _np_mask(mask):
-    return np.asarray(mask, dtype=bool)
+    return _concrete_np(mask, "The row mask").astype(bool)
 
 
 def _nan_mask_col0(y):
@@ -57,7 +78,7 @@ def _nan_mask_col0(y):
     pattern is always concrete at trace time in GPAR (hyperparameters are
     traced; the observations are not), so this is safe wherever called.
     """
-    return np.isnan(np.asarray(y)[:, 0])
+    return np.isnan(_concrete_np(y, "The observations `y`")[:, 0])
 
 
 def take_rows(x, mask):
@@ -145,7 +166,7 @@ def per_output(y, w, keep=False):
     else:
         w = np.asarray(w)
     p = y.shape[1]
-    available = ~np.isnan(np.asarray(y))
+    available = ~np.isnan(_concrete_np(y, "The observations `y`"))
 
     for i in range(p):
         mask = available[:, i].copy()

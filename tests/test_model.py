@@ -80,37 +80,68 @@ def test_per_output(i):
                 assert wi.ndim == 1
                 yield np.asarray(wi), mask
 
-    y = np.array(
-        [
-            [1, 2, np.nan, np.nan],
-            [3, np.nan, 4, np.nan],
-            [5, 6, 7, np.nan],
-            [8, np.nan, np.nan, np.nan],
-            [9, 10, np.nan, np.nan],
-            [11, np.nan, np.nan, 12],
-        ]
+    from .reference_fixtures import (
+        PER_OUTPUT_EXPECTED_6X4_KEEP,
+        PER_OUTPUT_EXPECTED_6X4_NOKEEP,
+        PER_OUTPUT_Y_6X4,
     )
 
-    expected = [
-        ([1, 3, 5, 8, 9, 11], [True, True, True, True, True, True]),
-        ([2, 6, 10], [True, False, True, False, True, False]),
-        ([7], [False, True, False]),
-        ([], [False]),
-    ]
-    result = [(a.tolist(), np.asarray(b).tolist()) for a, b in per_output_i(y, keep=False)]
-    assert result == expected
+    y = PER_OUTPUT_Y_6X4
 
-    expected = [
-        ([1, 3, 5, 8, 9, 11], [True, True, True, True, True, True]),
-        ([2, None, 6, 10, None], [True, True, True, False, True, True]),
-        ([4, 7, None], [False, True, True, False, True]),
-        ([12], [False, False, True]),
-    ]
+    result = [(a.tolist(), np.asarray(b).tolist()) for a, b in per_output_i(y, keep=False)]
+    assert result == PER_OUTPUT_EXPECTED_6X4_NOKEEP
+
     result = [
         ([None if np.isnan(c) else c for c in a], np.asarray(b).tolist())
         for a, b in per_output_i(y, keep=True)
     ]
-    assert result == expected
+    assert result == PER_OUTPUT_EXPECTED_6X4_KEEP
+
+
+def test_per_output_independent_pattern():
+    # Independently designed fixture (not derived from the reference
+    # suite): 8x4 with an all-NaN row, a row observed only in a middle
+    # output, and a fully-NaN-tail row.  Expectations hand-derived from
+    # the per_output contract (cumulative closed-downwards routing,
+    # ``gpar/model.py:325-368``).
+    nan = np.nan
+    y = np.array(
+        [
+            [nan, 1, 2, 3],
+            [4, 5, nan, 6],
+            [7, nan, nan, nan],
+            [nan, nan, 8, nan],
+            [9, 10, 11, 12],
+            [13, nan, 14, nan],
+            [nan, nan, nan, nan],
+            [15, 16, nan, 17],
+        ]
+    )
+    w = np.ones_like(y)
+
+    def rows(keep):
+        return [
+            ([None if np.isnan(c) else c for c in np.asarray(yi)[:, 0]],
+             np.asarray(mask).tolist())
+            for yi, wi, mask in per_output(y, w, keep=keep)
+        ]
+
+    assert rows(keep=False) == [
+        ([4, 7, 9, 13, 15], [False, True, True, False, True, True, False, True]),
+        ([5, 10, 16], [True, False, True, False, True]),
+        ([11], [False, True, False]),
+        ([12], [True]),
+    ]
+    assert rows(keep=True) == [
+        (
+            [None, 4, 7, None, 9, 13, 15],
+            [True, True, True, True, True, True, False, True],
+        ),
+        ([1, 5, None, 10, None, 16], [True, True, False, True, True, True, True]),
+        ([2, None, 8, 11, 14, None], [True, True, True, True, True, True]),
+        # Last output: no later outputs exist, so keep widens nothing.
+        ([3, 6, 12, 17], [True, True, False, True, False, True]),
+    ]
 
 
 def test_per_output_caching():
@@ -328,3 +359,30 @@ def test_sample_batch_matches_chain(x, w):
     keys = jax.random.split(_key(5), 5)
     seq = gpar.sample(x, w, key=keys[0])
     approx(batch[0], seq, atol=1e-9)
+
+
+def test_per_output_traced_data_raises():
+    # Tracing the *observations* through the host-side mask planner must
+    # raise a clear error, not an opaque TracerArrayConversionError
+    # (the router is static mask planning; only hyperparameters may trace).
+    y = jnp.asarray([[1.0, jnp.nan], [2.0, 3.0], [jnp.nan, 4.0]])
+    w = jnp.ones_like(y)
+
+    def consume(y_t):
+        return [yi for yi, _, _ in per_output(y_t, w)]
+
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(consume)(y)
+
+    # take_rows with a traced mask fails with the same clear message.
+    from gpar_tpu.models.gpar import take_rows
+
+    def take(mask_t):
+        return take_rows(y, mask_t)
+
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(take)(jnp.asarray([True, False, True]))
+
+    # Concrete data keeps working unchanged (control).
+    items = consume(y)
+    assert len(items) == 2
