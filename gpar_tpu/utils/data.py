@@ -83,7 +83,9 @@ def load_eeg(data_dir=None, synthetic_seed=0):
 
     test_cols = [columns.index(c) for c in ["F1", "F2", "FZ"]]
     n = len(x)
-    test_rows = np.arange(n - 100, n)
+    # Clipped so short (fixture-sized) files hold out every row instead of
+    # wrapping negative indices; the real dataset has n=256 > 100.
+    test_rows = np.arange(max(0, n - 100), n)
     y_train = y.copy()
     y_test = np.full_like(y, np.nan)
     for c in test_cols:
