@@ -36,15 +36,19 @@ TARGET_SECONDS = 10.0
 
 def make_data(n=10_000, p=16, seed=0):
     """Synthetic closed-downwards chain: each output depends nonlinearly on
-    the previous one plus the input (the GPAR generative structure)."""
+    the previous one plus the input (the GPAR generative structure).
+
+    Returns ``(x, y, f)`` with ``f`` the noiseless truth — the bench's
+    quality line scores predictions against it (SMSE vs truth)."""
     rng = np.random.default_rng(seed)
     x = np.sort(rng.uniform(0.0, 10.0, size=n))
     cols = [np.sin(x) - x**2 / 50.0]
     for i in range(1, p):
         prev = cols[-1]
         cols.append(np.cos(prev) ** 2 + np.sin((i + 1) * x / 3.0) / (1 + i / 8.0))
-    y = np.stack(cols, axis=1) + 0.05 * rng.standard_normal((n, p))
-    return x.astype(np.float32), y.astype(np.float32)
+    f = np.stack(cols, axis=1)
+    y = f + 0.05 * rng.standard_normal((n, p))
+    return x.astype(np.float32), y.astype(np.float32), f.astype(np.float32)
 
 
 def build_model(x):
@@ -91,7 +95,33 @@ def run_once_fused(reg, x, y, x_test, iters, num_samples, key_seed):
     )
     total = time.time() - t0
     assert np.isfinite(mean).all(), "non-finite predictions"
-    return total
+    return total, mean
+
+
+def report_quality(reg, mean, f_test):
+    """Prove the timed fit converges, not just terminates (stderr block).
+
+    Reports the total NLL decrease across layers (from the fused fit's
+    ``last_fit_report``: initial vs final per-layer NLL at the bench's
+    iteration budget) and the mean SMSE of the predictive mean against the
+    noiseless synthetic truth."""
+    from gpar_tpu.utils.metrics import smse
+
+    rep = reg.last_fit_report
+    nll0 = float(np.sum(rep["layer_nll0"]))
+    nll = float(np.sum(rep["layer_nll"]))
+    iters_used = rep["layer_iters"]
+    s = smse(mean, f_test)
+    print(
+        f"[bench] quality: sum NLL {nll0:.1f} -> {nll:.1f} "
+        f"(decrease {nll0 - nll:.1f}; per-layer iters used "
+        f"min {int(iters_used.min())} max {int(iters_used.max())}); "
+        f"mean SMSE vs noiseless truth {float(np.nanmean(s)):.4f} "
+        f"(worst output {float(np.nanmax(s)):.4f})",
+        file=sys.stderr,
+    )
+    assert nll <= nll0, "fit did not decrease the NLL"
+    assert float(np.nanmean(s)) < 1.0, "predictions worse than the mean predictor"
 
 
 def main():
@@ -109,15 +139,16 @@ def main():
         metric = "gpar_fit_predict_n10k_p16_wall_clock"
         target = TARGET_SECONDS
     n_test, num_samples, iters = 1024, 100, 10
-    x, y = make_data(n, p)
-    x_test = x[:: n // n_test][:n_test]
+    x, y, f = make_data(n, p)
+    test_idx = np.arange(n)[:: n // n_test][:n_test]
+    x_test, f_test = x[test_idx], f[test_idx]
 
     reg = build_model(x)
 
     # Cold pass: pays tracing + XLA compiles (persistently cached on disk).
     t0 = time.time()
     cold_fit, cold_pred = run_once(reg, x, y, x_test, iters, num_samples, 0)
-    cold_fused = run_once_fused(reg, x, y, x_test, iters, num_samples, 0)
+    cold_fused, _ = run_once_fused(reg, x, y, x_test, iters, num_samples, 0)
     print(
         f"[bench] cold: fit {cold_fit:.1f}s predict {cold_pred:.1f}s "
         f"fused fit_predict {cold_fused:.1f}s "
@@ -135,8 +166,9 @@ def main():
     # The headline: the single-dispatch production path (one compiled
     # program for fit + conditioning + 100-sample predictive; one host
     # round-trip).
-    total = run_once_fused(reg, x, y, x_test, iters, num_samples, 1)
+    total, mean = run_once_fused(reg, x, y, x_test, iters, num_samples, 1)
     print(f"[bench] warm fused fit_predict: {total:.1f}s", file=sys.stderr)
+    report_quality(reg, mean, f_test)
 
     print(
         json.dumps(
