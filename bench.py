@@ -145,9 +145,20 @@ def main():
 
     reg = build_model(x)
 
+    # Snapshot the INITIAL hyperparameter state so every timed pass runs
+    # the full optimisation from identical (fresh) initial conditions.
+    # Without this, warm re-fits would start from the previous pass's
+    # converged latents, terminate L-BFGS after ~1 iteration, and the
+    # quality line would describe a degenerate re-fit instead of a real
+    # one.
+    reg.condition(x, y)
+    reg._ensure_vars(reg.p)
+    z_init = reg.vs.snapshot()
+
     # Cold pass: pays tracing + XLA compiles (persistently cached on disk).
     t0 = time.time()
     cold_fit, cold_pred = run_once(reg, x, y, x_test, iters, num_samples, 0)
+    reg.vs.restore(z_init)
     cold_fused, _ = run_once_fused(reg, x, y, x_test, iters, num_samples, 0)
     print(
         f"[bench] cold: fit {cold_fit:.1f}s predict {cold_pred:.1f}s "
@@ -156,7 +167,9 @@ def main():
         file=sys.stderr,
     )
 
-    # Steady-state passes: same shapes and data -> cached executables.
+    # Steady-state passes: same shapes and data -> cached executables;
+    # same initial hyperparameters -> identical optimisation work.
+    reg.vs.restore(z_init)
     fit_s, pred_s = run_once(reg, x, y, x_test, iters, num_samples, 1)
     print(
         f"[bench] warm two-call: fit {fit_s:.1f}s predict {pred_s:.1f}s "
@@ -165,7 +178,8 @@ def main():
     )
     # The headline: the single-dispatch production path (one compiled
     # program for fit + conditioning + 100-sample predictive; one host
-    # round-trip).
+    # round-trip), from fresh initial hyperparameters.
+    reg.vs.restore(z_init)
     total, mean = run_once_fused(reg, x, y, x_test, iters, num_samples, 1)
     print(f"[bench] warm fused fit_predict: {total:.1f}s", file=sys.stderr)
     report_quality(reg, mean, f_test)

@@ -144,6 +144,14 @@ class _Config:
         #: (``parallel/dense.py``); shrunk automatically for small
         #: problems so padding overhead stays bounded.
         self.dense_shard_block = 256
+        #: Scan-fused posterior prediction (``models/fused.py``
+        #: ``make_scan_predict_tail``): conditioning + Monte-Carlo
+        #: sampling as one ``lax.scan`` over layers instead of a p-fold
+        #: Python unroll — compile time O(1) in p.  Engages for posterior
+        #: sampling/prediction/fit_predict on ``replace=True`` chains with
+        #: no active mesh; False forces the unrolled path everywhere
+        #: (oracle/fallback).
+        self.scan_predict = True
 
 
 config = _Config()

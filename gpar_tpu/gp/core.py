@@ -39,6 +39,7 @@ from jax.scipy.linalg import solve_triangular
 from ..ops.kernels import Kernel, gram, kdiag
 from ..ops.linalg import (
     LOG_2PI,
+    floor_noise,
     mvn_logpdf_chol,
     safe_cholesky,
     solve_chol,
@@ -81,13 +82,19 @@ def _vec(y):
 
 
 def _noise_vec(noise, n, dtype):
-    """Broadcast scalar / vector noise to an (n,) vector; None stays None."""
+    """Broadcast scalar / vector noise to an (n,) vector; None stays None.
+
+    Floors the effective noise at the dtype's jitter epsilon
+    (:func:`gpar_tpu.ops.linalg.floor_noise`): a float64 no-op, but in
+    float32 it keeps the likelihood numerically meaningful when the
+    optimiser drives the (1e-8-bounded) noise variable below float32
+    resolution."""
     if noise is None:
         return None
     noise = jnp.asarray(noise, dtype=dtype)
     if noise.ndim == 0:
-        return jnp.full((n,), noise, dtype=dtype)
-    return jnp.reshape(noise, (n,))
+        noise = jnp.full((n,), noise, dtype=dtype)
+    return floor_noise(jnp.reshape(noise, (n,)))
 
 
 class AbstractGP:

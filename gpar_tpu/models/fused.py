@@ -56,6 +56,8 @@ from jax import lax
 
 from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel, gram, kdiag
 from ..ops.linalg import (
+    floor_noise,
+    psd_sample_factor,
     resolve_epsilon,
     safe_cholesky,
     solve_chol,
@@ -66,7 +68,7 @@ from ..ops.linalg import (
 from ..params.optim import lbfgs_traced_restarts
 from ..params.store import _Bounded, _Identity, _LowerBounded
 
-__all__ = ["ScanFitPlan", "build_scan_fit_plan"]
+__all__ = ["ScanFitPlan", "build_scan_fit_plan", "make_scan_predict_tail"]
 
 
 # Constrained transforms per field, shared with the store (single source:
@@ -363,7 +365,35 @@ def _masked_dense_factors(K, r, mask, noise_w, eps):
         - 0.5 * jnp.sum(v * v)
     )
     alpha = solve_chol(L, rm)
-    return logpdf, alpha
+    return logpdf, alpha, L
+
+
+def _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug):
+    """One input-augmentation step in uniform shapes: write the
+    (imputed/replaced) output column into the augmented buffers per the
+    reference rules (``gpar/model.py:291-322``)."""
+    avail = lin["avail"]
+    y_col = lin["y_col"]
+    if plan.impute and plan.replace:
+        y_next = est_rows
+    elif plan.impute:
+        y_next = jnp.where(avail > 0, y_col, est_rows)
+    elif plan.replace:
+        y_next = jnp.where(avail > 0, est_rows, y_col)
+    else:
+        y_next = y_col
+
+    col = plan.m + lin["col"]
+    x_aug = lax.dynamic_update_slice(
+        x_aug, y_next[:, None], (jnp.int32(0), jnp.asarray(col, jnp.int32))
+    )
+    if plan.sparse:
+        zi_aug = lax.dynamic_update_slice(
+            zi_aug,
+            est_ind[:, None],
+            (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+        )
+    return x_aug, zi_aug
 
 
 def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_scale):
@@ -393,7 +423,9 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
 
         def layer_nll_and_factors(lin, z_full, x_aug, zi_aug):
             kernel, noise = _layer_kernel(plan, lin, z_full)
-            noise_w = noise / lin["w_col"]
+            # Same float32 noise floor as gp/core._noise_vec (f64 no-op) —
+            # keeps scan and unrolled objectives bit-consistent.
+            noise_w = floor_noise(noise / lin["w_col"])
             omask = lin["obs_mask"]
             r = lin["y_col"]  # zero-filled; masked rows neutralised
             if sparse:
@@ -405,7 +437,7 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
                 )
                 return -elbo, (Kmm, Kmn, beta)
             K = gram(kernel, x_aug, x_aug)
-            logpdf, alpha = _masked_dense_factors(K, r, omask, noise_w, eps)
+            logpdf, alpha, _ = _masked_dense_factors(K, r, omask, noise_w, eps)
             return -logpdf, (K, alpha)
 
         def step(carry, lin):
@@ -444,27 +476,7 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
                 est_rows = K @ alpha
                 est_ind = None
 
-            avail = lin["avail"]
-            y_col = lin["y_col"]
-            if plan.impute and plan.replace:
-                y_next = est_rows
-            elif plan.impute:
-                y_next = jnp.where(avail > 0, y_col, est_rows)
-            elif plan.replace:
-                y_next = jnp.where(avail > 0, est_rows, y_col)
-            else:
-                y_next = y_col
-
-            col = m + lin["col"]
-            x_aug = lax.dynamic_update_slice(
-                x_aug, y_next[:, None], (jnp.int32(0), jnp.asarray(col, jnp.int32))
-            )
-            if sparse:
-                zi_aug = lax.dynamic_update_slice(
-                    zi_aug,
-                    est_ind[:, None],
-                    (jnp.int32(0), jnp.asarray(col, jnp.int32)),
-                )
+            x_aug, zi_aug = _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug)
             return (z_ext, x_aug, zi_aug), (nll_pi, it_pi, nll0_pi)
 
         (z_ext, _, _), (layer_nll, layer_iters, layer_nll0) = lax.scan(
@@ -473,3 +485,147 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
         return z_ext[:-1], layer_nll, layer_iters, layer_nll0
 
     return program
+
+
+def make_scan_predict_tail(plan, x_ind, latent):
+    """Scan-fused posterior conditioning + Monte-Carlo predictive sampling.
+
+    The round-1 serving path unrolls the p-layer chain twice in Python —
+    once for conditioning (``GPAR.__or__``, ``gpar/model.py:148-176``) and
+    once per vmapped ancestral sample (``gpar/model.py:245-277``) — so the
+    traced program holds p copies of the posterior algebra and cold XLA
+    compilation scales with p (BENCH_r01: 167 s for predict at p=16).
+    This builds the same computation as ONE ``lax.scan`` whose body XLA
+    compiles once, using the shape-uniform gated-kernel machinery of the
+    scan fit (:func:`build_scan_fit_plan`).
+
+    Scope: ``replace=True`` chains only (the reference's ``replace`` rule
+    feeds the posterior *mean* to the next layer, ``gpar/model.py:308``,
+    making the chained inputs sample-independent — so per-layer train
+    factors and the test covariance factor are computed once, not per
+    sample, and the MC batch reduces to one trailing matmul).  With
+    ``replace=False`` the sampled outputs feed forward and each sample
+    carries its own chain; the unrolled vmapped path handles that case.
+
+    Per layer: Titsias/dense factors on the (masked) training rows with
+    the final hyperparameters, the posterior mean/covariance at the test
+    points, one PSD factor, ``len(keys)`` joint draws via a single
+    (n_test, S) matmul, then one augmentation step for the training buffer
+    (impute/replace rules) and the test buffer (posterior mean).
+
+    ``keys`` is the same per-sample key batch the unrolled path vmaps
+    ``_sample_chain`` over, and the per-layer stream replicates it exactly
+    (three-way split per layer, draw with the middle key, the same PSD
+    factor ``FDD.sample`` uses) — so, per-sample, the draws bit-match the
+    unrolled path and the fused/unrolled oracle comparison stays exact
+    rather than statistical.
+
+    Returns ``tail(z_all, x, x_test, w_test_T, keys) -> (batch,
+    mean_chain)`` with ``batch`` (S, n_test, p) model-space samples
+    (matching ``GPAR.sample_batch``) and ``mean_chain`` (n_test, p) the
+    deterministic per-layer posterior means (the chained inputs) — exposed
+    for oracle tests against the unrolled posterior.
+    """
+    if not plan.replace:
+        raise ValueError("make_scan_predict_tail requires replace=True chains.")
+    m, p, W, n = plan.m, plan.p, plan.W, plan.n
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def tail(z_all, x, x_test, w_test_T, keys):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        n_test = x_test.shape[0]
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        xt_aug = jnp.concatenate(
+            [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
+        )
+        if sparse:
+            zi = jnp.asarray(x_ind, dtype=dtype)
+            zi_aug = jnp.concatenate(
+                [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug = jnp.zeros((0, W), dtype)
+
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
+
+        def step(carry, lin):
+            x_aug, zi_aug, xt_aug, keys = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+            # Same float32 noise floor as gp/core._noise_vec (f64 no-op).
+            noise_w = floor_noise(noise / lin["w_col"])
+            omask = lin["obs_mask"]
+            r = lin["y_col"]
+
+            if sparse:
+                Kmm = gram(kernel, zi_aug, zi_aug)
+                Kmn = gram(kernel, zi_aug, x_aug)
+                knn = kdiag(kernel, x_aug)
+                _, Lm, LB, beta = titsias_factors(
+                    Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
+                )
+                # Sparse posterior at the test points
+                # (gp/core.py SparsePosteriorGP: mean = K(t,Z) beta,
+                #  cov = Ktt - T1^T T1 + T2^T T2).
+                Kmt = gram(kernel, zi_aug, xt_aug)
+                mean_t = Kmt.T @ beta
+                T1 = solve_lower(Lm, Kmt)
+                T2 = solve_lower(LB, T1)
+                cov_t = gram(kernel, xt_aug, xt_aug) - T1.T @ T1 + T2.T @ T2
+                est_rows = Kmn.T @ beta
+                est_ind = Kmm @ beta
+            else:
+                K = gram(kernel, x_aug, x_aug)
+                _, alpha, L = _masked_dense_factors(K, r, omask, noise_w, eps)
+                # Exact posterior at the test points (gp/core.py
+                # PosteriorGP); masked training rows have alpha = 0 and
+                # identity rows in L, so zeroing their cross-covariance
+                # rows reproduces conditioning on the observed rows only.
+                Kxt = gram(kernel, x_aug, xt_aug) * omask[:, None]
+                mean_t = Kxt.T @ alpha
+                V = solve_lower(L, Kxt)
+                cov_t = gram(kernel, xt_aug, xt_aug) - V.T @ V
+                est_rows = K @ alpha
+                est_ind = None
+
+            # One joint MVN draw per sample: latent returns the noiseless
+            # f-sample, observed adds the per-point noise to the covariance
+            # (``gpar/model.py:259-276``); with replace=True neither feeds
+            # forward — the posterior mean does.  Key stream replicates
+            # ``_sample_chain`` per sample: three-way split per layer, draw
+            # with k1 (k2 seeds the latent path's noisy feedforward sample,
+            # unused under replace but still consumed by the split).
+            if latent:
+                F = psd_sample_factor(cov_t)
+            else:
+                F = psd_sample_factor(
+                    cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
+                )
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # (S, 3)
+            keys_next, k1s = ks[:, 0], ks[:, 1]
+            Z = jax.vmap(
+                lambda k: jax.random.normal(k, (n_test,), dtype)
+            )(k1s)  # (S, n_test)
+            ys = mean_t[None, :] + Z @ F.T  # (S, n_test)
+
+            x_aug, zi_aug = _augment_cols(
+                plan, lin, est_rows, est_ind, x_aug, zi_aug
+            )
+            col = m + lin["col"]
+            xt_aug = lax.dynamic_update_slice(
+                xt_aug,
+                mean_t[:, None],
+                (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+            )
+            return (x_aug, zi_aug, xt_aug, keys_next), (ys, mean_t)
+
+        _, (ys_stack, mean_stack) = lax.scan(
+            step, (x_aug, zi_aug, xt_aug, keys), xs
+        )
+        # (p, S, n_test) -> (S, n_test, p); (p, n_test) -> (n_test, p).
+        return jnp.transpose(ys_stack, (1, 2, 0)), mean_stack.T
+
+    return tail

@@ -1157,48 +1157,90 @@ class GPARRegressor:
         else:
             w_test = self._permute_outputs(_uprank(_to_jnp(w_test)))
 
-        fit_body = self._build_fit_body(
-            y_cached, all_names, iters, gtol, memory_size, restarts,
-            restart_scale, scan,
-        )
+        from ..config import config as _cfg
 
-        from .gpar import _sample_chain
+        # Scan-fused serving: with replace=True the chained inputs are
+        # sample-independent (posterior means feed forward), so conditioning
+        # + the whole MC predictive collapse into one lax.scan over layers
+        # whose body compiles once — cold-compile O(1) in p instead of the
+        # unrolled path's p-fold conditioning + vmapped sampling chain.
+        scan_tail = scan and self.replace and _cfg.scan_predict
 
-        def program(z0, x_arr, x_test, w_test, keys, layer_keys):
-            z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
-                z0, x_arr, layer_keys
+        if scan_tail:
+            from .fused import (
+                build_scan_fit_plan,
+                make_scan_fit_body,
+                make_scan_predict_tail,
             )
-            view = self.vs.with_latent_vector(all_names, z_final)
-            gpar = _construct_gpar(self, view, self.m, self.p)
-            gpar = gpar | (x_arr, y_cached, None)
-            models = [mo() for mo in gpar.layers]
-            fs = tuple(f for f, _ in models)
-            noises = tuple(n for _, n in models)
-            x_ind = gpar.x_ind
 
-            def one(k):
-                return _sample_chain(
-                    fs,
-                    noises,
-                    x_test,
-                    w_test,
-                    x_ind,
-                    k,
-                    latent=latent,
-                    replace=self.replace,
-                    sparse=self.sparse,
+            plan = build_scan_fit_plan(self, all_names)
+            fit_body = make_scan_fit_body(
+                plan, self.x_ind, iters, gtol, memory_size, restarts,
+                restart_scale,
+            )
+            tail = make_scan_predict_tail(plan, self.x_ind, latent)
+
+            def program(z0, x_arr, x_test, w_test, keys, layer_keys):
+                z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                    z0, x_arr, layer_keys
+                )
+                batch, _ = tail(z_final, x_arr, x_test, w_test.T, keys)
+                batch = self._untransform_y(self._unnormalise_y(batch))
+                mean = jnp.mean(batch, axis=0)
+                lowers = jnp.percentile(batch, 2.5, axis=0)
+                uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+                return (
+                    z_final, layer_nll, layer_iters, layer_nll0,
+                    mean, lowers, uppers,
                 )
 
-            batch = jax.vmap(one)(keys)
-            batch = self._untransform_y(self._unnormalise_y(batch))
-            mean = jnp.mean(batch, axis=0)
-            lowers = jnp.percentile(batch, 2.5, axis=0)
-            uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
-            return z_final, layer_nll, layer_iters, layer_nll0, mean, lowers, uppers
+        else:
+            fit_body = self._build_fit_body(
+                y_cached, all_names, iters, gtol, memory_size, restarts,
+                restart_scale, scan,
+            )
+
+            from .gpar import _sample_chain
+
+            def program(z0, x_arr, x_test, w_test, keys, layer_keys):
+                z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                    z0, x_arr, layer_keys
+                )
+                view = self.vs.with_latent_vector(all_names, z_final)
+                gpar = _construct_gpar(self, view, self.m, self.p)
+                gpar = gpar | (x_arr, y_cached, None)
+                models = [mo() for mo in gpar.layers]
+                fs = tuple(f for f, _ in models)
+                noises = tuple(n for _, n in models)
+                x_ind = gpar.x_ind
+
+                def one(k):
+                    return _sample_chain(
+                        fs,
+                        noises,
+                        x_test,
+                        w_test,
+                        x_ind,
+                        k,
+                        latent=latent,
+                        replace=self.replace,
+                        sparse=self.sparse,
+                    )
+
+                batch = jax.vmap(one)(keys)
+                batch = self._untransform_y(self._unnormalise_y(batch))
+                mean = jnp.mean(batch, axis=0)
+                lowers = jnp.percentile(batch, 2.5, axis=0)
+                uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+                return (
+                    z_final, layer_nll, layer_iters, layer_nll0,
+                    mean, lowers, uppers,
+                )
 
         cache_key = (
             "fit_predict",
             scan,
+            scan_tail,
             self.n,
             self.m,
             self.p,
@@ -1461,8 +1503,30 @@ class GPARRegressor:
         names = self.vs.select(None)
         z = self.vs.latent_vector(names)
 
+        # Scan-fused posterior sampling (replace=True, single device): the
+        # whole conditioning + MC chain as one lax.scan over layers —
+        # cold-compile O(1) in p (see models/fused.make_scan_predict_tail).
+        from ..config import config as _cfg
+
+        scan_tail = (
+            posterior
+            and self.replace
+            and _cfg.scan_predict
+            and active_mesh is None
+        )
+        if scan_tail:
+            from .fused import build_scan_fit_plan, make_scan_predict_tail
+
+            plan = build_scan_fit_plan(self, names)
+            tail = make_scan_predict_tail(plan, self.x_ind, latent)
+
+            def program(z, x_data, x_test, w_test, keys):
+                batch, _ = tail(z, x_data, x_test, w_test.T, keys)
+                return batch
+
         cache_key = (
             "sample",
+            scan_tail,
             x.shape,
             num_samples,
             latent,

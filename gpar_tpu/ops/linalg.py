@@ -32,7 +32,8 @@ __all__ = [
     "mvn_logpdf_chol",
     "titsias_elbo",
     "titsias_factors",
-    "titsias_finish",
+    "titsias_solve",
+    "titsias_assemble",
     "psd_sample_factor",
     "LOG_2PI",
 ]
@@ -56,6 +57,27 @@ def resolve_epsilon(dtype, epsilon=None):
     if jnp.dtype(dtype) == jnp.dtype("float32"):
         eps = max(eps, getattr(config, "epsilon_f32", 1e-6))
     return eps
+
+
+def floor_noise(noise_diag):
+    """Per-point noise variances floored at the dtype's jitter epsilon.
+
+    The reference bounds the noise *variable* at 1e-8
+    (``gpar/regression.py:172``) — fine in float64, but far below float32
+    resolution on unit-scale Grams: the Titsias quad-form/trace terms scale
+    as ``1/noise`` and catastrophically cancel near the bound, producing
+    garbage ELBO values *and* gradients that trap L-BFGS in the degenerate
+    region (observed at n=10k/p=16: one layer's NLL "-2.6e15", noise pinned
+    at 1e-8, SMSE 16x worse than its siblings).  Flooring the *effective*
+    noise at :func:`resolve_epsilon` keeps the objective numerically
+    meaningful without touching variable semantics: a no-op in float64
+    (1e-12 < the 1e-8 bound), 1e-6 in float32 — the same scale the Cholesky
+    jitter already imposes on every covariance, so no new approximation is
+    introduced.  Applied at the two choke points every likelihood/sampling
+    path flows through (``gp/core._noise_vec`` and the scan-fused bodies'
+    ``noise / w``), so fused and unrolled paths stay bit-consistent.
+    """
+    return jnp.maximum(noise_diag, resolve_epsilon(noise_diag.dtype))
 
 
 def add_jitter(K, epsilon=None):
@@ -395,70 +417,82 @@ def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None, mask=
     r = y - mean
     if mask is None:
         d_inv = 1.0 / noise_diag
-        d_isqrt = jnp.sqrt(d_inv)
         logdet_d = jnp.sum(jnp.log(noise_diag))
         n_eff = y.shape[0]
     else:
-        # Mask OUTSIDE the sqrt/reciprocal: ``sqrt(mask / noise)`` has an
-        # ``inf * 0 = NaN`` derivative at masked rows (sqrt'(0) is inf),
-        # which would poison the whole ELBO gradient and stall L-BFGS via
-        # its non-finite guard.  ``sqrt(1/noise) * mask`` is differentiable
-        # everywhere (noise > 0) and identical in value.
+        # Mask applied to d_inv (not inside sqrt/log): ``mask / noise`` is
+        # differentiable everywhere (noise > 0) and exactly zeroes the
+        # masked rows' contributions to every sum below.
         r = r * mask
-        d_isqrt = jnp.sqrt(1.0 / noise_diag) * mask
         d_inv = mask / noise_diag
         logdet_d = jnp.sum(jnp.log(noise_diag) * mask)
         n_eff = jnp.sum(mask)
 
+    # Cancellation-free float32 formulation.  The textbook form scales
+    # ``A = Lm^{-1} Kmn D^{-1/2}`` and computes ``quad = r^T D^{-1} r -
+    # |LB^{-1} A D^{-1/2} r|^2`` and ``trace = sum knn/D - tr(A A^T)`` —
+    # two differences of 1/D-scale quantities.  At the float32 noise floor
+    # (D ~ 1e-6, unit-scale kernels) those operands reach ~1e10-1e12 and
+    # the subtractions lose ALL significant digits, with a systematic
+    # sign: the computed ELBO comes out hugely *positive* (observed:
+    # "+2.6e13") and L-BFGS steers straight into the garbage region,
+    # pinning the noise at its bound and wrecking the layer's fit.
+    # Instead keep ``A0 = Lm^{-1} Kmn`` at O(1) scale and compute both
+    # differences on O(1) operands BEFORE dividing by D:
+    #   trace = sum_i (knn_i - qnn_i) * d_inv_i,   qnn = diag(A0^T A0)
+    #   quad  = sum_i r_i (r_i - est_i) * d_inv_i, est = Knm beta
+    # using the Woodbury identity (Q + D)^{-1} r = D^{-1}(r - Knm beta).
+    # ``est`` costs one extra (n, m) matvec: ``Knm beta = A0^T (Lm^T beta)
+    # = A0^T w`` with ``w = LB^{-T} c`` already available.
     Lm = safe_cholesky(Kmm, epsilon)
-    # A = Lm^{-1} Kmn D^{-1/2}  (m, n)
-    A = solve_lower(Lm, Kmn) * d_isqrt[None, :]
-    G = A @ A.T
-    u = A @ (r * d_isqrt)
-    quad_diag = jnp.sum(r * r * d_inv)
-    # trace term uses sum_i q_nn,i / d_i == tr(G) (column sums of A^2).
-    trace_knn = jnp.sum(knn_diag * d_inv)
-    elbo, LB, beta = titsias_finish(
-        G, u, logdet_d, quad_diag, trace_knn, n_eff, Lm
-    )
+    A0 = solve_lower(Lm, Kmn)  # (m, n), O(1) entries
+    qnn = jnp.sum(A0 * A0, axis=0)
+    trace_num = jnp.sum((knn_diag - qnn) * d_inv)
+    G = (A0 * d_inv[None, :]) @ A0.T
+    u = A0 @ (r * d_inv)
+    LB, w, beta = titsias_solve(G, u, Lm)
+    est = A0.T @ w
+    quad = jnp.sum(r * (r - est) * d_inv)
+    elbo = titsias_assemble(logdet_d, LB, quad, trace_num, n_eff)
     return elbo, Lm, LB, beta
 
 
-def titsias_finish(G, u, logdet_d, quad_diag, trace_knn, n_total, Lm):
-    """The replicated O(m^3) tail of the collapsed Titsias ELBO, shared by
+def titsias_solve(G, u, Lm):
+    """The replicated O(m^3) core of the collapsed Titsias ELBO, shared by
     the single-device path (:func:`titsias_factors`) and the multi-chip
-    path (``parallel/sharded.py`` computes the same global statistics with
-    one ``psum`` and calls this) — ONE copy of the B/LB/beta algebra.
+    path (``parallel/sharded.py`` computes the same global ``G``/``u``
+    with one ``psum`` and calls this) — ONE copy of the B/LB/beta algebra.
 
     ``B = I + G`` is factorised with :func:`safe_cholesky`: in float32
     with near-floor noise, ``G``'s entries reach ~1e8 and round-off makes
     ``B`` numerically indefinite — a raw Cholesky would NaN the ELBO and
     every posterior factor (the retry ladder's max(diag)-relative rung
-    repairs exactly this case).
+    repairs exactly this case).  ``G`` is resymmetrised here (it is built
+    as a generic matmul, not a syrk, so fp asymmetry is possible).
 
     Args:
-        G: (m, m) ``A A^T`` with ``A = Lm^{-1} Kmn D^{-1/2}``.
-        u: (m,) ``A D^{-1/2} r``.
-        logdet_d / quad_diag / trace_knn: scalars ``sum log D_ii``,
-            ``sum r_i^2 / D_ii``, ``sum K_nn,ii / D_ii``.
-        n_total: number of (unpadded) data rows.
+        G: (m, m) ``Lm^{-1} Kmn D^{-1} Knm Lm^{-T}``.
+        u: (m,) ``Lm^{-1} Kmn D^{-1} r``.
         Lm: (m, m) Cholesky factor of ``Kmm``.
 
     Returns:
-        ``(elbo, LB, beta)``.
+        ``(LB, w, beta)`` with ``LB = chol(I + G)``, ``w = LB^{-T} LB^{-1}
+        u = Lm^T beta`` (the vector ``est = A0^T w`` needs), and
+        ``beta = Sigma_B^{-1} Kmn D^{-1} r``.
     """
     m = G.shape[-1]
+    G = 0.5 * (G + G.T)
     LB = safe_cholesky(G + jnp.eye(m, dtype=G.dtype))
     c = solve_lower(LB, u)
+    w = solve_triangular(LB, c, lower=True, trans=1)
+    beta = solve_triangular(Lm, w, lower=True, trans=1)
+    return LB, w, beta
+
+
+def titsias_assemble(logdet_d, LB, quad, trace_num, n_total):
+    """Assemble the collapsed ELBO from its stable pieces (shared by the
+    single-device and sharded paths; see :func:`titsias_factors` for the
+    formulation and why ``quad``/``trace_num`` arrive pre-reduced)."""
     logdet = logdet_d + 2.0 * jnp.sum(jnp.log(jnp.diagonal(LB)))
-    quad = quad_diag - jnp.sum(c * c)
     lognorm = -0.5 * (n_total * LOG_2PI + logdet + quad)
-    trace = -0.5 * (trace_knn - jnp.trace(G))
-    # beta = Sigma_B^{-1} Kmn D^{-1} r = Lm^{-T} LB^{-T} c.
-    beta = solve_triangular(
-        Lm,
-        solve_triangular(LB, c, lower=True, trans=1),
-        lower=True,
-        trans=1,
-    )
-    return lognorm + trace, LB, beta
+    return lognorm - 0.5 * trace_num

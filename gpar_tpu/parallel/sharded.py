@@ -7,10 +7,12 @@ The TPU-native scaling axes for GPAR are:
 - **Data parallelism over rows (``dp``)**: the Titsias collapsed ELBO
   decomposes over data rows given the inducing-point statistics —
   ``Kmn D^{-1} Knm = sum_i k(Z, x_i) k(Z, x_i)^T / d_i`` — so each device
-  computes an (m, m) moment matrix + an m-vector + three scalars on its row
-  shard and a single ``psum`` over ICI reduces them; the m x m finish
-  (two Cholesky factorisations) is replicated.  Per-device compute is
-  O(n m^2 / P) with O(m^2) communication, independent of n.
+  computes an (m, m) moment matrix + an m-vector + scalars on its row
+  shard, reduced with one ``psum`` over ICI; the m x m solve (two Cholesky
+  factorisations) is replicated, followed by one scalar psum of the
+  row-wise quadratic form (cancellation-free float32 formulation — see
+  ``ops/linalg.titsias_factors``).  Per-device compute is O(n m^2 / P)
+  with O(m^2) communication, independent of n.
 - **Sample parallelism (``dp`` again)**: Monte-Carlo predictive sampling
   vmaps over independent keys; sharding the key batch across devices
   parallelises prediction embarrassingly.
@@ -27,7 +29,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.kernels import gram, kdiag
-from ..ops.linalg import LOG_2PI, safe_cholesky, solve_lower, titsias_finish
+from ..ops.linalg import (
+    safe_cholesky,
+    solve_lower,
+    titsias_assemble,
+    titsias_solve,
+)
 
 __all__ = [
     "make_mesh",
@@ -58,31 +65,42 @@ def pad_rows(arr, multiple, value=0.0):
     return jnp.pad(arr, pad_width, constant_values=value), mask
 
 
-def _local_titsias_stats(kernel, z, Lm, x, y, mean, noise_diag, mask, axis):
-    """Per-shard Titsias statistics, reduced with one psum.
+def _sharded_titsias_body(kernel, z, Lm, x, y, noise_diag, mask, axis):
+    """Per-shard body of the collapsed Titsias ELBO + posterior factors.
+
+    Two reductions: one psum of the (m, m)/(m,)/scalar moment statistics,
+    then — after the replicated O(m^3) solve — one scalar psum of the
+    row-wise quadratic form.  The quad/trace terms use the same
+    cancellation-free float32 formulation as the single-device
+    ``ops.linalg.titsias_factors`` (O(1) subtractions before the 1/D
+    division; see its inline note), with the local shard's ``A0`` panel
+    reused for the second pass so no n-sized recompute happens.
 
     Padded rows are neutralised by ``mask``: their noise is treated as
     infinite (D^{-1} -> 0) and their logdet/count contributions are zeroed.
     """
-    r = (y - mean) * mask
+    r = y * mask
     d_inv = mask / noise_diag  # 0 on padded rows
 
     Kmn = gram(kernel, z, x)  # (m, n_local)
-    # A_loc = Lm^{-1} Kmn sqrt(D^{-1})
-    A = solve_lower(Lm, Kmn) * jnp.sqrt(d_inv)[None, :]
+    A0 = solve_lower(Lm, Kmn)  # O(1) entries (no 1/D scaling)
+    qnn = jnp.sum(A0 * A0, axis=0)
 
-    G = jax.lax.psum(A @ A.T, axis)  # (m, m): Lm^{-1} Kmn D^{-1} Knm Lm^{-T}
-    b = jax.lax.psum(A @ (r * jnp.sqrt(d_inv)), axis)  # (m,): Lm^{-1} Kmn D^{-1} r
+    G = jax.lax.psum((A0 * d_inv[None, :]) @ A0.T, axis)
+    u = jax.lax.psum(A0 @ (r * d_inv), axis)
     logdet_d = jax.lax.psum(jnp.sum(jnp.log(noise_diag) * mask), axis)
-    quad_diag = jax.lax.psum(jnp.sum(r * r * d_inv), axis)
-    trace_knn = jax.lax.psum(jnp.sum(kdiag(kernel, x) * d_inv), axis)
+    trace_num = jax.lax.psum(
+        jnp.sum((kdiag(kernel, x) - qnn) * d_inv), axis
+    )
     n_total = jax.lax.psum(jnp.sum(mask), axis)
-    return G, b, logdet_d, quad_diag, trace_knn, n_total
 
-
-# The O(m^3) finish (B factorisation, ELBO tail, beta) is the shared
-# single-source implementation in ops/linalg.py:titsias_finish — the
-# single-device and sharded paths cannot drift apart.
+    # Replicated O(m^3) core (single source: ops/linalg.titsias_solve —
+    # the single-device and sharded paths cannot drift apart).
+    LB, w, beta = titsias_solve(G, u, Lm)
+    est = A0.T @ w  # local rows of Knm beta
+    quad = jax.lax.psum(jnp.sum(r * (r - est) * d_inv), axis)
+    elbo = titsias_assemble(logdet_d, LB, quad, trace_num, n_total)
+    return elbo, LB, beta
 
 
 def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
@@ -107,10 +125,9 @@ def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
     Lm = safe_cholesky(gram(kernel, z, z))
 
     def local(kernel, z, Lm, x, y, noise_diag, mask):
-        stats = _local_titsias_stats(
-            kernel, z, Lm, x, y, jnp.zeros_like(y), noise_diag, mask, axis
-        )
-        return titsias_finish(*stats, Lm)[0]
+        return _sharded_titsias_body(
+            kernel, z, Lm, x, y, noise_diag, mask, axis
+        )[0]
 
     fn = jax.shard_map(
         local,
@@ -128,9 +145,9 @@ def sharded_titsias_factors(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
     (``gp/core.py``): the collapsed ELBO plus the (m, m)/(m,) posterior
     factors ``Lm``, ``LB``, ``beta``.  Rows of (x, y, noise_diag, mask)
     are sharded over ``mesh``'s ``axis``; each device contributes an
-    (m, m) moment matrix and an m-vector through a single ``psum`` (the
-    only communication — O(m^2), independent of n); the O(m^3) finish is
-    replicated.
+    (m, m) moment matrix and an m-vector through one ``psum`` plus one
+    scalar psum for the quadratic form (O(m^2) communication total,
+    independent of n); the O(m^3) solve is replicated.
 
     Returns:
         (elbo, Lm, LB, beta)
@@ -140,22 +157,17 @@ def sharded_titsias_factors(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):
     Lm = safe_cholesky(gram(kernel, z, z))
 
     def local(kernel, z, Lm, x, y, noise_diag, mask):
-        return _local_titsias_stats(
-            kernel, z, Lm, x, y, jnp.zeros_like(y), noise_diag, mask, axis
+        return _sharded_titsias_body(
+            kernel, z, Lm, x, y, noise_diag, mask, axis
         )
 
-    stats_fn = jax.shard_map(
+    fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(),
     )
-    G, b, logdet_d, quad_diag, trace_knn, n_total = stats_fn(
-        kernel, z, Lm, x, y, noise_diag, mask
-    )
-    elbo, LB, beta = titsias_finish(
-        G, b, logdet_d, quad_diag, trace_knn, n_total, Lm
-    )
+    elbo, LB, beta = fn(kernel, z, Lm, x, y, noise_diag, mask)
     return elbo, Lm, LB, beta
 
 

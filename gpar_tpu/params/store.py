@@ -132,6 +132,26 @@ class Vars:
         new._transforms = dict(self._transforms)
         return new
 
+    def snapshot(self):
+        """Copy of the current latents (name -> NumPy array).
+
+        Together with :meth:`restore` this gives cheap in-process
+        save/rollback of the hyperparameter state — e.g. re-running a fit
+        from identical initial conditions (bench.py's warm passes) or
+        backtracking a diverged optimisation.  Full cross-process
+        checkpointing (data, normaliser, config) lives in
+        ``utils/checkpoint.py``."""
+        return {k: np.array(v, copy=True) for k, v in self._latents.items()}
+
+    def restore(self, snap):
+        """Restore latents from a :meth:`snapshot` (transforms are keyed by
+        name and kept; unknown names are an error)."""
+        missing = [k for k in snap if k not in self._transforms]
+        if missing:
+            raise KeyError(f"restore(): unknown variable names {missing}")
+        for k, v in snap.items():
+            self._latents[k] = np.array(v, copy=True)
+
     # -- selection & flat latent vectors ----------------------------------
     def select(self, patterns=None):
         """Names matched by glob patterns, in creation order

@@ -192,6 +192,94 @@ def test_free_fused_fit_matches_driver(kw):
         approx(rf.vs[n_], rd.vs[n_], rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("latent", [False, True], ids=["observed", "latent"])
+@pytest.mark.parametrize("sparse", [False, True], ids=["dense", "sparse"])
+def test_scan_predict_tail_matches_unrolled(sparse, latent):
+    # Posterior sampling via the scan tail (models/fused.py,
+    # make_scan_predict_tail) vs the unrolled vmapped ancestral chain.
+    # The tail replicates _sample_chain's per-sample key stream exactly,
+    # so this is a bit-compatibility oracle, not a statistical one.
+    from gpar_tpu import config
+
+    x, y = _data(missing=True)
+    kw = dict(noise=0.1, impute=True, replace=True, normalise_y=True)
+    if sparse:
+        kw["x_ind"] = np.linspace(0, 6, 9)
+    reg = GPARRegressor(**kw)
+    reg.fit(x, y, iters=4, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(-0.5, 6.5, 23)
+    key = jax.random.PRNGKey(5)
+
+    assert config.scan_predict  # default on
+    s_scan = reg.sample(
+        x_test, posterior=True, num_samples=4, latent=latent, key=key
+    )
+    try:
+        config.scan_predict = False
+        s_unroll = reg.sample(
+            x_test, posterior=True, num_samples=4, latent=latent, key=key
+        )
+    finally:
+        config.scan_predict = True
+    # Observed samples bit-match (the per-point noise keeps the covariance
+    # well-conditioned, so psd_sample_factor is stable).  Latent posterior
+    # covariances are near-singular at in-range test points; the PSD factor
+    # of a barely-PD matrix amplifies the ~1e-12 masked-vs-filtered rounding
+    # difference to ~1e-5 — both factors F satisfy F F^T == cov to 1e-10,
+    # i.e. the same distribution, just not the same factor bits.
+    tol = 2e-3 if latent else 1e-9
+    for a, b in zip(s_scan, s_unroll):
+        approx(a, b, atol=tol)
+
+
+def test_scan_predict_tail_mean_chain_oracle():
+    # The tail's deterministic per-layer posterior means (the replace=True
+    # chained inputs) == chaining f.mean through the conditioned unrolled
+    # GPAR — an RNG-independent oracle of the conditioning algebra.
+    import jax.numpy as jnp
+
+    from gpar_tpu.models.fused import build_scan_fit_plan, make_scan_predict_tail
+    from gpar_tpu.models.regressor import _construct_gpar
+
+    x, y = _data(missing=True)
+    kw = dict(
+        noise=0.1, impute=True, replace=True, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    reg = GPARRegressor(**kw)
+    reg.fit(x, y, iters=4, key=jax.random.PRNGKey(0))
+
+    names = reg.vs.select(None)
+    plan = build_scan_fit_plan(reg, names)
+    tail = make_scan_predict_tail(plan, reg.x_ind, latent=False)
+    x_test = jnp.asarray(np.linspace(0.2, 5.8, 17))[:, None]
+    w_test = jnp.ones((17, reg.p), dtype=x_test.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(2), 3)
+    _, mean_chain = tail(
+        reg.vs.latent_vector(names), reg.x, x_test, w_test.T, keys
+    )
+
+    gpar = _construct_gpar(reg, reg.vs, reg.m, reg.p)
+    gpar = gpar | (reg.x, reg._y_cache, None)
+    x_cur = x_test
+    for pi, model in enumerate(gpar.layers):
+        f, _ = model()
+        mu = f.mean(x_cur)
+        approx(np.asarray(mean_chain)[:, pi], np.asarray(mu)[:, 0], atol=1e-9)
+        x_cur = jnp.concatenate([x_cur, mu], axis=1)
+
+
+def test_scan_predict_tail_requires_replace():
+    from gpar_tpu.models.fused import build_scan_fit_plan, make_scan_predict_tail
+
+    x, y = _data()
+    reg = GPARRegressor(noise=0.1, impute=True, replace=False, normalise_y=True)
+    reg.fit(x, y, iters=0, key=jax.random.PRNGKey(0))
+    plan = build_scan_fit_plan(reg, reg.vs.select(None))
+    with pytest.raises(ValueError, match="replace=True"):
+        make_scan_predict_tail(plan, None, latent=False)
+
+
 def test_gate_kernel_equals_select():
     # The Gate combinator (ops/kernels.py) is the shape-uniform select:
     # gating out columns must equal statically selecting the complement.

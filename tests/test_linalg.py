@@ -353,3 +353,80 @@ def test_titsias_f32_small_noise_stays_finite():
     assert np.isfinite(float(elbo))
     assert bool(jnp.all(jnp.isfinite(LB)))
     assert bool(jnp.all(jnp.isfinite(beta)))
+
+
+def test_floor_noise_f64_noop_f32_floors():
+    # floor_noise (ops/linalg.py): the effective-noise floor must be a
+    # float64 no-op (config.epsilon 1e-12 < the reference's 1e-8 noise
+    # bound, gpar/regression.py:172) and clamp to the f32 jitter epsilon
+    # in float32, where near-bound noise makes the ELBO catastrophically
+    # cancel (bench regression: layer NLL "-2.6e15").
+    from gpar_tpu.ops.linalg import floor_noise, resolve_epsilon
+
+    v64 = jnp.asarray([1e-8, 1e-10, 0.1], dtype=jnp.float64)
+    approx(floor_noise(v64), np.array([1e-8, 1e-10, 0.1]), rtol=0)
+
+    v32 = jnp.asarray([1e-8, 0.1], dtype=jnp.float32)
+    out = np.asarray(floor_noise(v32))
+    assert out[0] == np.float32(resolve_epsilon(jnp.float32))
+    assert out[1] == np.float32(0.1)
+
+
+def test_noise_floor_applied_in_gp_core_f32():
+    # The FDD choke point (gp/core._noise_vec) applies the same floor:
+    # an f32 observation covariance built with bound-level noise must be
+    # the epsilon-floored one.
+    from gpar_tpu.gp.core import GP
+    from gpar_tpu.ops.kernels import EQ
+    from gpar_tpu.ops.linalg import resolve_epsilon
+
+    f = GP(EQ())
+    x = jnp.asarray(np.linspace(0, 1, 5)[:, None], jnp.float32)
+    fdd = f(x, 1e-8)
+    eps = np.float32(resolve_epsilon(jnp.float32))
+    approx(fdd.noise, np.full(5, eps), rtol=0)
+
+
+def test_titsias_f32_elbo_accurate_at_noise_floor():
+    # Cancellation-free formulation (ops/linalg.py titsias_factors): the
+    # f32 ELBO at the f32 noise floor (1e-6, unit-scale kernel) must match
+    # the f64 value to small relative error.  The textbook quad/trace
+    # forms subtract 1/D-scale quantities and returned systematically
+    # *positive* garbage here (observed "+2.6e13" on the bench), steering
+    # L-BFGS into the degenerate region.
+    from gpar_tpu.ops.kernels import EQ
+    from gpar_tpu.ops.linalg import titsias_factors
+
+    n, m = 2048, 128
+    r = np.random.default_rng(7)
+    x64 = np.sort(r.uniform(0, 10, n))[:, None]
+    z64 = np.linspace(0, 10, m)[:, None]
+    y64 = np.sin(x64[:, 0]) + 0.05 * r.standard_normal(n)
+
+    def elbo(dtype):
+        x = jnp.asarray(x64, dtype)
+        z = jnp.asarray(z64, dtype)
+        y = jnp.asarray(y64, dtype)
+        k = EQ().stretch(jnp.asarray([1.0], dtype))
+        noise = jnp.full((n,), 1e-6, dtype)
+        e, _, _, beta = titsias_factors(
+            gram(k, z, z), gram(k, z, x), kdiag(k, x), y,
+            jnp.zeros_like(y), noise,
+        )
+        return float(e), np.asarray(beta)
+
+    e64, _ = elbo(jnp.float64)
+    e32, beta32 = elbo(jnp.float32)
+    assert np.isfinite(e32)
+    # Hugely negative (the model can't explain 0.05-noise data with 1e-6
+    # noise), and f32 within 10% of f64 — not sign-flipped garbage.  The
+    # 10% bar is what f32 can inherently deliver here: ``B = I + G`` has
+    # condition ~1/d = 1e6 at the floor, so its Cholesky solve carries
+    # ~kappa * eps_f32 ~ percent-level relative error into ``est`` no
+    # matter how the reductions are ordered (measured: 5.2%).  The old
+    # textbook formulation was off by SEVEN orders of magnitude with the
+    # wrong sign — the property under test is scale/sign correctness, the
+    # thing the optimiser steers by, not ulp accuracy.
+    assert e64 < -1e5
+    assert abs(e32 - e64) < 0.10 * abs(e64), (e32, e64)
+    assert np.all(np.isfinite(beta32))

@@ -230,3 +230,31 @@ def test_minimise_trace_rejects_restarts():
         minimise_l_bfgs_b(
             objective, Vars(), trace=True, restarts=4, key=jax.random.PRNGKey(0)
         )
+
+
+def test_snapshot_restore_roundtrip():
+    import numpy as np
+    import pytest
+
+    from gpar_tpu.params.store import Vars
+
+    vs = Vars()
+    vs.bnd(name="0/noise", init=0.1, lower=1e-8)
+    vs.get(name="0/lin/const", init=2.0)
+    snap = vs.snapshot()
+
+    vs.set_latent_vector(vs.names, np.array([5.0, -3.0]))
+    assert float(vs["0/lin/const"]) == -3.0
+
+    vs.restore(snap)
+    np.testing.assert_allclose(float(vs["0/noise"]), 0.1, rtol=1e-12)
+    np.testing.assert_allclose(float(vs["0/lin/const"]), 2.0, rtol=1e-12)
+
+    # Snapshot is an independent copy: mutating the store afterwards must
+    # not corrupt it.
+    vs.set_latent_vector(vs.names, np.array([1.0, 1.0]))
+    vs.restore(snap)
+    np.testing.assert_allclose(float(vs["0/lin/const"]), 2.0, rtol=1e-12)
+
+    with pytest.raises(KeyError, match="unknown"):
+        vs.restore({"not/a/name": np.zeros(())})
