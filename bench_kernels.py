@@ -119,11 +119,21 @@ def bench_cholesky(n=8192):
     jax.block_until_ready(mat)
     flops = n**3 / 3.0
 
-    results = {}
-    for name, fn in [
+    def blocked_variant(block, subblock):
+        return jax.jit(
+            lambda mat: linalg.blocked_cholesky(mat, block, subblock)
+        )
+
+    variants = [
         ("xla_builtin", jax.jit(jnp.linalg.cholesky)),
-        ("blocked", jax.jit(linalg.blocked_cholesky)),
-    ]:
+        ("blocked", blocked_variant(512, None)),  # round-1 one-shot panels
+        ("blocked_sub128", blocked_variant(512, 128)),
+        ("blocked_b1024_sub128", blocked_variant(1024, 128)),
+        ("blocked_b768_sub128", blocked_variant(768, 128)),
+        ("blocked_sub256", blocked_variant(512, 256)),
+    ]
+    results = {}
+    for name, fn in variants:
         t = device_seconds(fn, (mat,), f"chol_{name}_{n}")
         results[name] = {
             "seconds": t,

@@ -128,6 +128,15 @@ class _Config:
         #: TriangularSolve ops lower poorly on TPU while the b x b
         #: inversion is cheap).  Measured numbers: PERF.md.
         self.cholesky_trsm_inverse = True
+        #: Sub-block width for factorising each panel column: the (M, b)
+        #: panel is factorised in ``b / subblock`` right-looking inner
+        #: steps, shrinking the serial leaf from ``chol(b)`` to
+        #: ``chol(subblock)`` and turning the rest of the panel work into
+        #: MXU matmuls (the panel factorisation is the measured serial
+        #: bottleneck at b=512 — PERF.md finding 8).  ``None`` = factorise
+        #: the whole diagonal block with the XLA builtin (round-1
+        #: behaviour).  Must divide ``blocked_cholesky_block``.
+        self.blocked_cholesky_subblock = 128
         #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
         #: one axis, or None).  When set, the sparse (Titsias) training
         #: path row-shards its per-layer statistics over the mesh and
@@ -213,6 +222,7 @@ def mesh_descriptor():
         config.use_blocked_cholesky,
         config.blocked_cholesky_min,
         config.blocked_cholesky_block,
+        config.blocked_cholesky_subblock,
         config.cholesky_trsm_inverse,
         config.dense_shard_block,
     )

@@ -118,7 +118,43 @@ def _panel_solve(Ljj, A21):
     return solve_triangular(Ljj, A21.T, lower=True).T
 
 
-def _blocked_cholesky_fwd(K, block):
+def _panel_factor(P, subblock):
+    """Factorise one (M, b) leading panel column: returns the lower-
+    trapezoidal ``L`` with ``P[:b, :b] = L[:b] L[:b]^T`` (lower part) and
+    ``L[b:] = P[b:, :b] L[:b]^{-T}``.
+
+    With ``subblock`` set, runs ``b / subblock`` right-looking inner steps
+    so the only serial leaves are ``chol(subblock)`` + a ``subblock``-sized
+    triangular inversion; the tall sub-column solves and the intra-panel
+    trailing updates are MXU matmuls.  This attacks the measured serial
+    bottleneck of the b=512 outer panels (PERF.md finding 8: the XLA
+    builtin ``chol(512)`` + 512-wide inversion sit on the critical path 16
+    times at n=8192).  ``subblock=None`` reproduces the round-1 one-shot
+    panel (builtin chol of the full diagonal block).
+    """
+    b = P.shape[1]
+    if subblock is None or subblock >= b:
+        Ljj = jnp.linalg.cholesky(P[:b, :b])
+        below = _panel_solve(Ljj, P[b:, :b])
+        return jnp.concatenate([Ljj, below], axis=0)
+    assert b % subblock == 0, (b, subblock)
+    for k0 in range(0, b, subblock):
+        k1 = k0 + subblock
+        Lkk = jnp.linalg.cholesky(P[k0:k1, k0:k1])
+        below = _panel_solve(Lkk, P[k1:, k0:k1])  # (M - k1, sb)
+        P = P.at[k0:k1, k0:k1].set(Lkk)
+        P = P.at[k1:, k0:k1].set(below)
+        if k1 < b:
+            # Intra-panel trailing update: cols k1..b of every row below
+            # the current sub-diagonal.  ``below[: b - k1]`` are the rows
+            # that own those columns' future diagonal/sub-diagonal blocks.
+            P = P.at[k1:, k1:].add(-below @ below[: b - k1, :].T)
+    # The diagonal block's strict upper triangle still holds stale
+    # symmetric entries; zero it so the factor matches the builtin exactly.
+    return jnp.concatenate([jnp.tril(P[:b]), P[b:]], axis=0)
+
+
+def _blocked_cholesky_fwd(K, block, subblock):
     """Right-looking blocked Cholesky, lower triangle, triangle-aware.
 
     The trailing (syrk) update touches only the block-columns at or below
@@ -135,12 +171,10 @@ def _blocked_cholesky_fwd(K, block):
     A = K
     for j in range(nb):
         j0 = j * block
-        Ljj = jnp.linalg.cholesky(A[j0 : j0 + block, j0 : j0 + block])
-        L = L.at[j0 : j0 + block, j0 : j0 + block].set(Ljj)
+        Lp = _panel_factor(A[j0:, j0 : j0 + block], subblock)
+        L = L.at[j0:, j0 : j0 + block].set(Lp)
         if j0 + block < n:
-            A21 = A[j0 + block :, j0 : j0 + block]
-            L21 = _panel_solve(Ljj, A21)
-            L = L.at[j0 + block :, j0 : j0 + block].set(L21)
+            L21 = Lp[block:]
             for c in range(j + 1, nb):
                 c0 = c * block
                 upd = L21[c0 - j0 - block :, :] @ L21[c0 - j0 - block : c0 - j0, :].T
@@ -148,13 +182,13 @@ def _blocked_cholesky_fwd(K, block):
     return L
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1,))
-def _blocked_cholesky(K, block):
-    return _blocked_cholesky_fwd(K, block)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _blocked_cholesky(K, block, subblock):
+    return _blocked_cholesky_fwd(K, block, subblock)
 
 
 @_blocked_cholesky.defjvp
-def _blocked_cholesky_jvp(block, primals, tangents):
+def _blocked_cholesky_jvp(block, subblock, primals, tangents):
     # Standard Cholesky differential: for K = L Lᵀ and symmetric dK,
     # dL = L φ(L⁻¹ dK L⁻ᵀ) with φ(A) = tril(A, -1) + diag(A)/2.  Linear in
     # dK through constant-L triangular solves, so JAX transposes it for
@@ -162,7 +196,7 @@ def _blocked_cholesky_jvp(block, primals, tangents):
     # two matmuls instead of differentiating through every panel.
     (K,) = primals
     (dK,) = tangents
-    L = _blocked_cholesky(K, block)
+    L = _blocked_cholesky(K, block, subblock)
     Lt = jnp.tril(L)
     dK = (dK + dK.T) / 2.0
     tmp = solve_triangular(Lt, dK, lower=True)
@@ -171,7 +205,10 @@ def _blocked_cholesky_jvp(block, primals, tangents):
     return L, jnp.tril(Lt @ phi)
 
 
-def blocked_cholesky(K, block=None):
+_UNSET = object()
+
+
+def blocked_cholesky(K, block=None, subblock=_UNSET):
     """Triangle-aware blocked Cholesky of an SPD matrix (lower factor).
 
     Faster than XLA's builtin factorisation on TPU for n >= ~4096 (see
@@ -181,10 +218,15 @@ def blocked_cholesky(K, block=None):
     by the panel width is handled by factorising ``blockdiag(K, I)`` —
     block-diagonal inputs have block-diagonal factors, so the top-left
     slice is exact.  The upper triangle is exactly zero by construction
-    (no ``tril`` pass is spent on it).
+    (no ``tril`` pass is spent on it).  ``subblock`` (default from
+    ``config.blocked_cholesky_subblock``) sub-factorises each panel column
+    so the serial leaf is a ``subblock``-sized Cholesky (see
+    :func:`_panel_factor`).
     """
     if block is None:
         block = config.blocked_cholesky_block
+    if subblock is _UNSET:
+        subblock = config.blocked_cholesky_subblock
     n = K.shape[-1]
     if n <= block:
         return jnp.linalg.cholesky(K)
@@ -196,7 +238,7 @@ def blocked_cholesky(K, block=None):
                 [jnp.zeros((pad, n), K.dtype), jnp.eye(pad, dtype=K.dtype)],
             ]
         )
-    L = _blocked_cholesky(K, block)
+    L = _blocked_cholesky(K, block, subblock)
     return L[:n, :n] if pad else L
 
 
