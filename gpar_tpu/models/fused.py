@@ -39,10 +39,12 @@ trains, then one augmentation step threads the (imputed/replaced) output
 column forward.  Oracle-tested equal to both the per-layer driver and the
 unrolled fused path.
 
-Current scope: single-device programs (an active ``use_mesh`` falls back
-to the unrolled fused body, which shards); all kernel options (rq, per,
-input_linear, markov, scale_tie), sparse + dense, impute/replace, missing
-data, and vmapped restarts are supported.
+Scope: all kernel options (rq, per, input_linear, markov, scale_tie),
+sparse + dense, impute/replace, missing data, and vmapped restarts.
+Under an active ``use_mesh``, sparse fits run the SAME scan inside one
+``shard_map`` (rows sharded, ELBO psum-reduced — see
+:func:`make_scan_fit_body`); dense fits and the predict tail fall back
+to the unrolled bodies, which shard through the GP core.
 """
 
 from dataclasses import dataclass
@@ -396,19 +398,44 @@ def _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug):
     return x_aug, zi_aug
 
 
-def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_scale):
+def make_scan_fit_body(
+    plan,
+    x_ind,
+    iters,
+    gtol,
+    memory_size,
+    restarts,
+    restart_scale,
+    mesh=None,
+    shard_axis="dp",
+):
     """The traced scan-fused whole-fit body ``(z_all, x, layer_keys) ->
     (z_final, layer_nll, layer_iters, layer_nll0)`` — same contract as
-    ``regressor._build_fused_fit_body`` but one compiled layer body."""
+    ``regressor._build_fused_fit_body`` but one compiled layer body.
+
+    With ``mesh`` set (sparse plans only), the whole scan runs inside one
+    ``shard_map`` over the mesh: data rows (the augmented buffer and every
+    per-layer (p, n) scan input) shard over ``shard_axis``, the layer ELBO
+    reduces through :func:`gpar_tpu.parallel.sharded.titsias_psum_body`
+    (one (m, m) psum + one scalar psum per evaluation), and the m-scale
+    L-BFGS state stays replicated in lockstep on every device — O(n m²/P)
+    per device AND cold compile O(1) in p, combining the two scaling axes.
+    Rows are padded to a device multiple with zeroed masks (the exact
+    neutralisation ``titsias_psum_body`` documents).
+    """
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
 
-    def program(z_all, x, layer_keys):
-        dtype = x.dtype
+    def _scan_chain(z_all, x_local, xs, n_rows):
+        """The shared scan over layers; ``x_local``/(p, n_rows) scan inputs
+        may be the full data (single-device) or one shard (mesh mode)."""
+        dtype = x_local.dtype
         eps = resolve_epsilon(dtype)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
-        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        x_aug = jnp.concatenate(
+            [x_local, jnp.zeros((n_rows, W - m), dtype)], axis=1
+        )
         if sparse:
             zi = jnp.asarray(x_ind, dtype=dtype)
             n_ind = zi.shape[0]
@@ -418,9 +445,6 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
         else:
             zi_aug = jnp.zeros((0, W), dtype)
 
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
-        xs["key"] = layer_keys
-
         def layer_nll_and_factors(lin, z_full, x_aug, zi_aug):
             kernel, noise = _layer_kernel(plan, lin, z_full)
             # Same float32 noise floor as gp/core._noise_vec (f64 no-op) —
@@ -428,6 +452,18 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
             noise_w = floor_noise(noise / lin["w_col"])
             omask = lin["obs_mask"]
             r = lin["y_col"]  # zero-filled; masked rows neutralised
+            if sparse and mesh is not None:
+                from ..parallel.sharded import titsias_psum_body
+
+                Kmm = gram(kernel, zi_aug, zi_aug)
+                Lm = safe_cholesky(Kmm)
+                Kmn = gram(kernel, zi_aug, x_aug)  # (m, n_local)
+                A0 = solve_lower(Lm, Kmn)
+                knn = kdiag(kernel, x_aug)
+                elbo, LB, beta = titsias_psum_body(
+                    Lm, A0, knn, r, noise_w, omask, shard_axis
+                )
+                return -elbo, (Kmm, Kmn, beta)
             if sparse:
                 Kmm = gram(kernel, zi_aug, zi_aug)
                 Kmn = gram(kernel, zi_aug, x_aug)
@@ -483,6 +519,58 @@ def make_scan_fit_body(plan, x_ind, iters, gtol, memory_size, restarts, restart_
             step, (z_ext, x_aug, zi_aug), xs
         )
         return z_ext[:-1], layer_nll, layer_iters, layer_nll0
+
+    if mesh is None:
+
+        def program(z_all, x, layer_keys):
+            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+            xs["key"] = layer_keys
+            return _scan_chain(z_all, x, xs, n)
+
+        return program
+
+    if not sparse:
+        raise ValueError(
+            "make_scan_fit_body(mesh=...) supports sparse (inducing-point) "
+            "plans only; dense fits under a mesh use the unrolled body."
+        )
+
+    from jax.sharding import PartitionSpec as PSpec
+
+    n_dev = mesh.devices.size
+    n_pad = (-n) % n_dev
+    # Per-layer scan inputs carrying one value per data row (sharded along
+    # the row axis); everything else is replicated.
+    row_keys = ("route_mask", "obs_mask", "avail", "y_col", "w_col")
+
+    def program(z_all, x, layer_keys):
+        x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        if n_pad:
+            for k in row_keys:
+                # w pads with 1 (it divides the noise); masks/data with 0 —
+                # masked rows contribute exactly nothing (titsias_psum_body).
+                cval = 1.0 if k == "w_col" else 0.0
+                xs[k] = jnp.pad(
+                    xs[k], ((0, 0), (0, n_pad)), constant_values=cval
+                )
+        xs["key"] = layer_keys
+
+        xs_specs = {
+            k: PSpec(None, shard_axis) if k in row_keys else PSpec()
+            for k in xs
+        }
+
+        def local(z_all, x_loc, xs_loc):
+            return _scan_chain(z_all, x_loc, xs_loc, x_loc.shape[0])
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PSpec(), PSpec(shard_axis), xs_specs),
+            out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
+        )
+        return fn(z_all, x_p, xs)
 
     return program
 

@@ -804,16 +804,23 @@ class GPARRegressor:
     def _use_scan_body(self, fused):
         """Whether the fused fit should use the scan (shape-uniform) body.
 
-        ``fused=True``/``"scan"`` -> scan, unless a mesh is active (the
-        scan body is single-device; the unrolled body shards its per-layer
-        statistics over the mesh).  ``fused="unroll"`` forces the
-        round-1 unrolled body (oracle/fallback path).
+        ``fused=True``/``"scan"`` -> scan.  Under an active mesh the scan
+        body runs for sparse (inducing-point) fits with enough rows to
+        shard (``models/fused.py``: the whole scan inside one shard_map,
+        ELBO reduced with psums) — dense fits and small-n fits fall back
+        to the unrolled body, which shards its per-layer statistics
+        through the GP core's own mesh dispatch.  ``fused="unroll"``
+        forces the round-1 unrolled body (oracle/fallback path).
         """
         if fused == "unroll":
             return False
         from ..config import config as _cfg
 
-        return _cfg.mesh is None
+        if _cfg.mesh is None:
+            return True
+        return bool(self.sparse) and self.n >= max(
+            _cfg.shard_min_rows, _cfg.mesh.devices.size
+        )
 
     def _fit_fixed_fused(
         self,
@@ -933,11 +940,13 @@ class GPARRegressor:
                 restart_scale,
             )
         if scan:
+            from ..config import config as _cfg
             from .fused import build_scan_fit_plan, make_scan_fit_body
 
             plan = build_scan_fit_plan(self, all_names)
             return make_scan_fit_body(
-                plan, self.x_ind, iters, gtol, memory_size, restarts, restart_scale
+                plan, self.x_ind, iters, gtol, memory_size, restarts,
+                restart_scale, mesh=_cfg.mesh, shard_axis=_cfg.shard_axis,
             )
         return self._build_fused_fit_body(
             y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
@@ -1164,7 +1173,11 @@ class GPARRegressor:
         # + the whole MC predictive collapse into one lax.scan over layers
         # whose body compiles once — cold-compile O(1) in p instead of the
         # unrolled path's p-fold conditioning + vmapped sampling chain.
-        scan_tail = scan and self.replace and _cfg.scan_predict
+        # Mesh-excluded: the predict tail is single-device (the fit body
+        # itself shards under a mesh via _build_fit_body).
+        scan_tail = (
+            scan and self.replace and _cfg.scan_predict and _cfg.mesh is None
+        )
 
         if scan_tail:
             from .fused import (

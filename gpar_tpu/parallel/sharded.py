@@ -40,6 +40,7 @@ __all__ = [
     "make_mesh",
     "sharded_titsias_elbo",
     "sharded_titsias_factors",
+    "titsias_psum_body",
     "pad_rows",
     "sharded_sample_batch",
 ]
@@ -65,8 +66,11 @@ def pad_rows(arr, multiple, value=0.0):
     return jnp.pad(arr, pad_width, constant_values=value), mask
 
 
-def _sharded_titsias_body(kernel, z, Lm, x, y, noise_diag, mask, axis):
-    """Per-shard body of the collapsed Titsias ELBO + posterior factors.
+def titsias_psum_body(Lm, A0, knn_local, y, noise_diag, mask, axis):
+    """psum-reduced collapsed Titsias ELBO + posterior factors from one
+    shard's local panels — the communication core shared by every
+    row-sharded sparse path (:func:`sharded_titsias_factors` and the
+    mesh mode of the scan-fused fit, ``models/fused.py``).
 
     Two reductions: one psum of the (m, m)/(m,)/scalar moment statistics,
     then — after the replicated O(m^3) solve — one scalar psum of the
@@ -78,20 +82,22 @@ def _sharded_titsias_body(kernel, z, Lm, x, y, noise_diag, mask, axis):
 
     Padded rows are neutralised by ``mask``: their noise is treated as
     infinite (D^{-1} -> 0) and their logdet/count contributions are zeroed.
+
+    Args:
+        Lm: (m, m) replicated Cholesky factor of ``Kmm``.
+        A0: (m, n_local) ``Lm^{-1} Kmn`` for the local rows.
+        knn_local: (n_local,) prior variances at the local rows.
+        y / noise_diag / mask: (n_local,) local residuals, per-point
+            noise, 0/1 validity.
     """
     r = y * mask
     d_inv = mask / noise_diag  # 0 on padded rows
-
-    Kmn = gram(kernel, z, x)  # (m, n_local)
-    A0 = solve_lower(Lm, Kmn)  # O(1) entries (no 1/D scaling)
     qnn = jnp.sum(A0 * A0, axis=0)
 
     G = jax.lax.psum((A0 * d_inv[None, :]) @ A0.T, axis)
     u = jax.lax.psum(A0 @ (r * d_inv), axis)
     logdet_d = jax.lax.psum(jnp.sum(jnp.log(noise_diag) * mask), axis)
-    trace_num = jax.lax.psum(
-        jnp.sum((kdiag(kernel, x) - qnn) * d_inv), axis
-    )
+    trace_num = jax.lax.psum(jnp.sum((knn_local - qnn) * d_inv), axis)
     n_total = jax.lax.psum(jnp.sum(mask), axis)
 
     # Replicated O(m^3) core (single source: ops/linalg.titsias_solve —
@@ -101,6 +107,15 @@ def _sharded_titsias_body(kernel, z, Lm, x, y, noise_diag, mask, axis):
     quad = jax.lax.psum(jnp.sum(r * (r - est) * d_inv), axis)
     elbo = titsias_assemble(logdet_d, LB, quad, trace_num, n_total)
     return elbo, LB, beta
+
+
+def _sharded_titsias_body(kernel, z, Lm, x, y, noise_diag, mask, axis):
+    """Per-shard body: local Gram panels + :func:`titsias_psum_body`."""
+    Kmn = gram(kernel, z, x)  # (m, n_local)
+    A0 = solve_lower(Lm, Kmn)  # O(1) entries (no 1/D scaling)
+    return titsias_psum_body(
+        Lm, A0, kdiag(kernel, x), y, noise_diag, mask, axis
+    )
 
 
 def sharded_titsias_elbo(kernel, z, x, y, noise_diag, mask, mesh, axis="dp"):

@@ -332,3 +332,70 @@ def test_titsias_factors_mask_equals_filtered():
     )
     for g, e in zip(got, exp):
         approx(g, e, atol=1e-10)
+
+
+def test_scan_fit_sharded_matches_single_device():
+    # The mesh mode of the scan-fused fit (models/fused.py
+    # make_scan_fit_body(mesh=...)): the whole scan inside one shard_map,
+    # rows sharded, ELBO psum-reduced.  n=42 on 8 devices exercises the
+    # padding path (42 % 8 != 0) and missing data exercises the row masks
+    # composed with the pad masks.
+    import gpar_tpu
+    from gpar_tpu.parallel import make_mesh
+
+    x, y = _data(n=42, missing=True)
+    kw = dict(
+        noise=0.1, impute=True, replace=True, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    key = jax.random.PRNGKey(0)
+
+    r_single = GPARRegressor(**kw)
+    r_single.fit(x, y, iters=0, fused=True, key=key)
+
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r_mesh = GPARRegressor(**kw)
+        r_mesh.fit(x, y, iters=0, fused=True, key=key)
+    # Strict oracle at iters=0: identical math, different reduction order.
+    approx(
+        r_mesh.last_fit_report["layer_nll"],
+        r_single.last_fit_report["layer_nll"],
+        atol=1e-8,
+    )
+
+    # With optimisation (and restarts, which vmaps the psum-carrying
+    # objective inside the shard_map): trajectories agree loosely, the
+    # learned hyperparameters closely.
+    r_single.fit(x, y, iters=8, fused=True, key=key, restarts=2)
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r_mesh.fit(x, y, iters=8, fused=True, key=key, restarts=2)
+    approx(
+        r_mesh.last_fit_report["layer_nll"],
+        r_single.last_fit_report["layer_nll"],
+        rtol=1e-4, atol=1e-4,
+    )
+    for name in r_single.vs.names:
+        approx(r_mesh.vs[name], r_single.vs[name], rtol=2e-3, atol=2e-3)
+
+
+def test_scan_fit_sharded_dense_falls_back():
+    # Dense fits under a mesh use the unrolled body (the scan mesh mode is
+    # sparse-only); the public fit must still work and match single-device.
+    import gpar_tpu
+    from gpar_tpu.parallel import make_mesh
+
+    x, y = _data(n=40)
+    key = jax.random.PRNGKey(1)
+    r_single = GPARRegressor(noise=0.1, normalise_y=True)
+    r_single.fit(x, y, iters=0, fused=True, key=key)
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r_mesh = GPARRegressor(noise=0.1, normalise_y=True)
+        assert not r_mesh._use_scan_body(True)  # dense -> unrolled
+        r_mesh.fit(x, y, iters=0, fused=True, key=key)
+    approx(
+        r_mesh.last_fit_report["layer_nll"],
+        r_single.last_fit_report["layer_nll"],
+        atol=1e-7,
+    )
