@@ -70,7 +70,13 @@ from ..ops.linalg import (
 from ..params.optim import lbfgs_traced_restarts
 from ..params.store import _Bounded, _Identity, _LowerBounded
 
-__all__ = ["ScanFitPlan", "build_scan_fit_plan", "make_scan_predict_tail"]
+__all__ = [
+    "ScanFitPlan",
+    "build_scan_fit_plan",
+    "make_batched_fit_body",
+    "make_scan_fit_body",
+    "make_scan_predict_tail",
+]
 
 
 # Constrained transforms per field, shared with the store (single source:
@@ -571,6 +577,96 @@ def make_scan_fit_body(
             out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
         )
         return fn(z_all, x_p, xs)
+
+    return program
+
+
+def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scale):
+    """All p layers' L-BFGS fits batched in ONE ``vmap`` — the TPU-native
+    answer to SURVEY §2.4's pipeline-parallelism row.
+
+    The survey's PP analogue observes that per-layer hyperparameter fits of
+    *fixed* layers are independent given cached inputs.  On a single TPU
+    core, pipelining (overlapping layer pi+1's work with layer pi's tail)
+    buys nothing — XLA executes one compute op at a time — but the same
+    independence enables something better: *batching*.  When no estimated
+    output feeds forward, every layer's objective depends only on its own
+    latent span and the raw data, so the p optimisations run as one vmapped
+    L-BFGS whose every ELBO evaluation is a p-stacked batch of kernels/
+    factorisations — p-fold larger MXU ops for the small dense workloads
+    (EEG/exchange-scale) where per-layer matrices underutilise the chip.
+
+    Independence requires ALL of (validated here, dispatched by
+    ``GPARRegressor._use_scan_body``):
+
+    - dense (no inducing points: sparse chains always impute the inducing
+      outputs with posterior means, ``gpar/model.py:315-322``);
+    - ``replace=False`` (replace feeds posterior means into observed rows,
+      ``gpar/model.py:308``);
+    - fully-observed data (with NaNs present, ``impute=True`` feeds
+      estimates forward; fully observed, impute is a no-op);
+    - ``scale_tie=False`` (tied input scales make every layer read layer
+      0's variables, ``gpar/regression.py:151``, so layer order matters).
+
+    Semantics equal the sequential scan body exactly under these
+    conditions (oracle-tested): the augmented buffer is pre-filled with
+    the observed output columns, gates hide the columns later layers may
+    not see.
+    """
+    if plan.sparse:
+        raise ValueError("batched layer fits require a dense model")
+    if plan.replace:
+        raise ValueError("batched layer fits require replace=False")
+    if plan.config["scale_tie"]:
+        raise ValueError("batched layer fits require scale_tie=False")
+    if not np.all(np.asarray(plan.xs["avail"]) == 1.0):
+        raise ValueError("batched layer fits require fully-observed data")
+    m, p, W, n = plan.m, plan.p, plan.W, plan.n
+    xs_np = plan.xs
+
+    def program(z_all, x, layer_keys):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["key"] = layer_keys
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        # All augmentation columns are the observed outputs — known up
+        # front; per-layer gates hide the not-yet-visible ones.
+        x_aug = jnp.concatenate([x, xs["y_col"].T], axis=1)  # (n, W)
+
+        def one_layer(lin):
+            def obj(z_pi):
+                z_full = z_ext.at[lin["layer_gather"]].set(z_pi)
+                kernel, noise = _layer_kernel(plan, lin, z_full)
+                noise_w = floor_noise(noise / lin["w_col"])
+                K = gram(kernel, x_aug, x_aug)
+                logpdf, _, _ = _masked_dense_factors(
+                    K, lin["y_col"], lin["obs_mask"], noise_w, eps
+                )
+                return -logpdf
+
+            z0_pi = z_ext[lin["layer_gather"]]
+            return lbfgs_traced_restarts(
+                obj,
+                z0_pi,
+                lin["key"],
+                restarts,
+                restart_scale=restart_scale,
+                iters=iters,
+                gtol=gtol,
+                memory_size=memory_size,
+            )
+
+        z_opt, layer_nll, layer_iters, layer_nll0 = jax.vmap(one_layer)(xs)
+        # Scatter every layer's optimised span back; spans are disjoint
+        # without scale_tie, and the padded gather slots all alias the
+        # dummy latent, re-zeroed after the scatter (same trick as the
+        # scan body).
+        z_ext = z_ext.at[jnp.reshape(xs["layer_gather"], (-1,))].set(
+            jnp.reshape(z_opt, (-1,))
+        )
+        z_ext = z_ext.at[-1].set(0.0)
+        return z_ext[:-1], layer_nll, layer_iters, layer_nll0
 
     return program
 

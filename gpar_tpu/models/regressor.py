@@ -513,6 +513,14 @@ class GPARRegressor:
             fix (bool): Fix the parameters of a layer after training it; the
                 fast path precomputes the previous layers' augmented inputs
                 once per layer (``gpar/regression.py:423-432``).
+
+        The fused-body choice rides on ``fused=`` (beyond the reference):
+        ``True`` (default) auto-selects the shape-uniform ``lax.scan``
+        body; ``"batched"`` runs all layers' L-BFGS in one vmap when the
+        layers are provably independent (dense, fully-observed,
+        ``replace=False``, ``scale_tie=False`` — see
+        ``models/fused.py:make_batched_fit_body``); ``"unroll"`` forces
+        the round-1 unrolled body; ``False`` the per-layer host driver.
         """
         if greedy:
             if self.compat:
@@ -802,25 +810,39 @@ class GPARRegressor:
             )
 
     def _use_scan_body(self, fused):
-        """Whether the fused fit should use the scan (shape-uniform) body.
+        """Which shape-uniform fused body the fix=True fit should use.
 
-        ``fused=True``/``"scan"`` -> scan.  Under an active mesh the scan
-        body runs for sparse (inducing-point) fits with enough rows to
-        shard (``models/fused.py``: the whole scan inside one shard_map,
-        ELBO reduced with psums) — dense fits and small-n fits fall back
-        to the unrolled body, which shards its per-layer statistics
-        through the GP core's own mesh dispatch.  ``fused="unroll"``
-        forces the round-1 unrolled body (oracle/fallback path).
+        Returns ``"scan"`` (one ``lax.scan`` layer body), ``"batched"``
+        (all layers' L-BFGS in one vmap — requires provably independent
+        layers, ``models/fused.py:make_batched_fit_body``; opt-in via
+        ``fused="batched"``), or ``False`` (the round-1 unrolled body,
+        forced by ``fused="unroll"``).
+
+        Under an active mesh the scan body runs for sparse
+        (inducing-point) fits with enough rows to shard
+        (``models/fused.py``: the whole scan inside one shard_map, ELBO
+        reduced with psums) — dense fits and small-n fits fall back to
+        the unrolled body, which shards its per-layer statistics through
+        the GP core's own mesh dispatch.
         """
         if fused == "unroll":
             return False
         from ..config import config as _cfg
 
+        if fused == "batched":
+            if _cfg.mesh is not None:
+                raise ValueError(
+                    "fused='batched' is a single-device program; disable "
+                    "the active mesh or use fused=True."
+                )
+            return "batched"
         if _cfg.mesh is None:
-            return True
-        return bool(self.sparse) and self.n >= max(
+            return "scan"
+        if bool(self.sparse) and self.n >= max(
             _cfg.shard_min_rows, _cfg.mesh.devices.size
-        )
+        ):
+            return "scan"
+        return False
 
     def _fit_fixed_fused(
         self,
@@ -938,6 +960,13 @@ class GPARRegressor:
             return self._build_free_fused_fit_body(
                 y_cached, all_names, iters, gtol, memory_size, restarts,
                 restart_scale,
+            )
+        if scan == "batched":
+            from .fused import build_scan_fit_plan, make_batched_fit_body
+
+            plan = build_scan_fit_plan(self, all_names)
+            return make_batched_fit_body(
+                plan, iters, gtol, memory_size, restarts, restart_scale
             )
         if scan:
             from ..config import config as _cfg

@@ -399,3 +399,69 @@ def test_scan_fit_sharded_dense_falls_back():
         r_single.last_fit_report["layer_nll"],
         atol=1e-7,
     )
+
+
+def test_batched_fit_matches_scan():
+    # fused="batched" (models/fused.py make_batched_fit_body): all layers'
+    # L-BFGS in one vmap.  With fully-observed dense data, replace=False
+    # and scale_tie=False the layers are provably independent, so the
+    # batched fit must equal the sequential scan body — strictly at
+    # iters=0, to optimiser-trajectory tolerance beyond.
+    x, y = _data(n=36)  # fully observed
+    for kw in (
+        dict(noise=0.1, normalise_y=True),
+        dict(noise=0.1, markov=1, rq=True, nonlinear=True, normalise_y=False),
+    ):
+        key = jax.random.PRNGKey(0)
+        r_scan = GPARRegressor(**kw)
+        r_scan.fit(x, y, iters=0, fused=True, key=key)
+        r_bat = GPARRegressor(**kw)
+        r_bat.fit(x, y, iters=0, fused="batched", key=key)
+        approx(
+            r_bat.last_fit_report["layer_nll"],
+            r_scan.last_fit_report["layer_nll"],
+            atol=1e-8,
+        )
+
+        r_scan.fit(x, y, iters=8, fused=True, key=key, restarts=2)
+        r_bat.fit(x, y, iters=8, fused="batched", key=key, restarts=2)
+        approx(
+            r_bat.last_fit_report["layer_nll"],
+            r_scan.last_fit_report["layer_nll"],
+            rtol=1e-6, atol=1e-6,
+        )
+        for name in r_scan.vs.names:
+            approx(r_bat.vs[name], r_scan.vs[name], rtol=1e-4, atol=1e-4)
+
+
+def test_batched_fit_rejects_dependent_layers():
+    # Every independence precondition is validated with a clear error.
+    from gpar_tpu.models.fused import build_scan_fit_plan, make_batched_fit_body
+
+    x, y = _data(n=30)
+
+    def plan_for(**kw):
+        reg = GPARRegressor(**kw)
+        reg.condition(x, y)
+        reg._ensure_vars(reg.p)
+        return build_scan_fit_plan(reg, reg.vs.select(None))
+
+    with pytest.raises(ValueError, match="dense"):
+        make_batched_fit_body(
+            plan_for(noise=0.1, x_ind=np.linspace(0, 6, 5)), 5, 1e-9, 10, 1, 1.0
+        )
+    with pytest.raises(ValueError, match="replace"):
+        make_batched_fit_body(
+            plan_for(noise=0.1, replace=True), 5, 1e-9, 10, 1, 1.0
+        )
+    with pytest.raises(ValueError, match="scale_tie"):
+        make_batched_fit_body(
+            plan_for(noise=0.1, scale_tie=True), 5, 1e-9, 10, 1, 1.0
+        )
+    x2, y2 = _data(n=30, missing=True)
+    reg = GPARRegressor(noise=0.1, impute=True)
+    reg.condition(x2, y2)
+    reg._ensure_vars(reg.p)
+    plan = build_scan_fit_plan(reg, reg.vs.select(None))
+    with pytest.raises(ValueError, match="observed"):
+        make_batched_fit_body(plan, 5, 1e-9, 10, 1, 1.0)
