@@ -157,8 +157,10 @@ class _Config:
         #: ``make_scan_predict_tail``): conditioning + Monte-Carlo
         #: sampling as one ``lax.scan`` over layers instead of a p-fold
         #: Python unroll — compile time O(1) in p.  Engages for posterior
-        #: sampling/prediction/fit_predict on ``replace=True`` chains with
-        #: no active mesh; False forces the unrolled path everywhere
+        #: sampling/prediction/fit_predict on ``replace=True`` chains
+        #: (under an active mesh, ``sample``/``predict`` shard the key
+        #: batch through the tail; ``fit_predict`` keeps the unrolled
+        #: tail); False forces the unrolled path everywhere
         #: (oracle/fallback).
         self.scan_predict = True
 

@@ -1545,17 +1545,15 @@ class GPARRegressor:
         names = self.vs.select(None)
         z = self.vs.latent_vector(names)
 
-        # Scan-fused posterior sampling (replace=True, single device): the
-        # whole conditioning + MC chain as one lax.scan over layers —
+        # Scan-fused posterior sampling (replace=True): the whole
+        # conditioning + MC chain as one lax.scan over layers —
         # cold-compile O(1) in p (see models/fused.make_scan_predict_tail).
+        # Under a mesh the pre-sharded key batch rides through unchanged:
+        # the tail's per-layer factors are key-independent (replicated by
+        # GSPMD) and the draws/outputs propagate the sample-axis sharding.
         from ..config import config as _cfg
 
-        scan_tail = (
-            posterior
-            and self.replace
-            and _cfg.scan_predict
-            and active_mesh is None
-        )
+        scan_tail = posterior and self.replace and _cfg.scan_predict
         if scan_tail:
             from .fused import build_scan_fit_plan, make_scan_predict_tail
 

@@ -465,3 +465,29 @@ def test_batched_fit_rejects_dependent_layers():
     plan = build_scan_fit_plan(reg, reg.vs.select(None))
     with pytest.raises(ValueError, match="observed"):
         make_batched_fit_body(plan, 5, 1e-9, 10, 1, 1.0)
+
+
+def test_scan_predict_tail_under_mesh_matches_single_device():
+    # sample(posterior=True) with replace=True under a mesh now rides the
+    # scan tail with the key batch sharded over devices; per-sample draws
+    # are key-deterministic, so mesh == single-device bit-for-bit (f64),
+    # including a num_samples not divisible by the mesh (pad-and-drop).
+    import gpar_tpu
+    from gpar_tpu.parallel import make_mesh
+
+    x, y = _data(missing=True)
+    kw = dict(
+        noise=0.1, impute=True, replace=True, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    reg = GPARRegressor(**kw)
+    reg.fit(x, y, iters=4, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(-0.5, 6.5, 23)
+    key = jax.random.PRNGKey(7)
+
+    s_single = reg.sample(x_test, posterior=True, num_samples=5, key=key)
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        s_mesh = reg.sample(x_test, posterior=True, num_samples=5, key=key)
+    for a, b in zip(s_single, s_mesh):
+        approx(a, b, atol=1e-9)
