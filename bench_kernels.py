@@ -119,18 +119,17 @@ def bench_cholesky(n=8192):
     jax.block_until_ready(mat)
     flops = n**3 / 3.0
 
-    def blocked_variant(block, subblock):
+    def blocked_variant(block, subblock, left):
         return jax.jit(
-            lambda mat: linalg.blocked_cholesky(mat, block, subblock)
+            lambda mat: linalg.blocked_cholesky(mat, block, subblock, left)
         )
 
     variants = [
         ("xla_builtin", jax.jit(jnp.linalg.cholesky)),
-        ("blocked", blocked_variant(512, None)),  # round-1 one-shot panels
-        ("blocked_sub128", blocked_variant(512, 128)),
-        ("blocked_b1024_sub128", blocked_variant(1024, 128)),
-        ("blocked_b768_sub128", blocked_variant(768, 128)),
-        ("blocked_sub256", blocked_variant(512, 256)),
+        ("blocked_default", jax.jit(linalg.blocked_cholesky)),  # config knobs
+        ("blocked_left_b256", blocked_variant(256, None, True)),
+        ("blocked_left_b512", blocked_variant(512, None, True)),
+        ("blocked_right_b512", blocked_variant(512, None, False)),  # round-1 form
     ]
     results = {}
     for name, fn in variants:

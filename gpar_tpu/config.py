@@ -118,25 +118,33 @@ class _Config:
         self.use_blocked_cholesky = None
         #: Minimum matrix size for the blocked Cholesky to engage.
         self.blocked_cholesky_min = 4096
-        #: Panel width (multiple of the 512 MXU-friendly tile; measured
-        #: best at n=4k-16k).
-        self.blocked_cholesky_block = 512
+        #: Panel width.  Measured on-chip at n=8192: 256 is optimal for
+        #: the left-looking schedule (10.19 ms vs 10.44 at 512), 512 for
+        #: the right-looking one (every other width 8-25% slower).
+        self.blocked_cholesky_block = 256
+        #: Panel schedule: True = left-looking (panel j applies all prior
+        #: panels' contributions as ONE rectangular GEMM; no running
+        #: trailing buffer to update in place), False = triangle-aware
+        #: right-looking (round-1 form; halves syrk FLOPs but pays
+        #: nb²/2 small dynamic-update-slice writes).  Left measured
+        #: faster on-chip at n=8192 (10.19 vs 10.95 ms, same session).
+        self.blocked_cholesky_left = True
         #: Panel solve strategy: True replaces the wide triangular solve
         #: ``L21 = A21 Ljj^{-T}`` with an explicit blocked triangular
-        #: inversion of the (small) diagonal block followed by one MXU
-        #: matmul (the TRSM -> TRTRI+GEMM transformation; large
-        #: TriangularSolve ops lower poorly on TPU while the b x b
-        #: inversion is cheap).  Measured numbers: PERF.md.
+        #: inversion of the diagonal block followed by one MXU matmul
+        #: (the TRSM -> TRTRI+GEMM transformation).  Measured on-chip at
+        #: n=8192 (same session): a WIN on the left-looking b=256
+        #: schedule (9.99 vs 10.19 ms — TRSM runs at 9.6 vs the GEMM's
+        #: 30.9 TF/s, and inv(256) is cheap), a wash on right-looking
+        #: b=512.  Default True to match the left-looking default.
         self.cholesky_trsm_inverse = True
-        #: Sub-block width for factorising each panel column: the (M, b)
-        #: panel is factorised in ``b / subblock`` right-looking inner
-        #: steps, shrinking the serial leaf from ``chol(b)`` to
-        #: ``chol(subblock)`` and turning the rest of the panel work into
-        #: MXU matmuls (the panel factorisation is the measured serial
-        #: bottleneck at b=512 — PERF.md finding 8).  ``None`` = factorise
-        #: the whole diagonal block with the XLA builtin (round-1
-        #: behaviour).  Must divide ``blocked_cholesky_block``.
-        self.blocked_cholesky_subblock = 128
+        #: Sub-block width for factorising the (b, b) diagonal block in
+        #: ``b / subblock`` right-looking inner steps, shrinking the
+        #: serial leaf from ``chol(b)`` to ``chol(subblock)``.  Measured
+        #: on-chip at n=8192/b=512: a slight LOSS (11.84 ms sub=128 vs
+        #: 10.95 ms one-shot builtin), so ``None`` (one-shot) is the
+        #: default; must divide ``blocked_cholesky_block`` when set.
+        self.blocked_cholesky_subblock = None
         #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
         #: one axis, or None).  When set, the sparse (Titsias) training
         #: path row-shards its per-layer statistics over the mesh and
@@ -225,6 +233,7 @@ def mesh_descriptor():
         config.blocked_cholesky_min,
         config.blocked_cholesky_block,
         config.blocked_cholesky_subblock,
+        config.blocked_cholesky_left,
         config.cholesky_trsm_inverse,
         config.dense_shard_block,
     )

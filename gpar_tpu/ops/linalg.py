@@ -111,50 +111,75 @@ def tri_inv_lower(L, base=128):
 
 def _panel_solve(Ljj, A21):
     """``L21 = A21 Ljj^{-T}`` — via explicit inversion + one matmul when
-    ``config.cholesky_trsm_inverse`` (default; the wide TriangularSolve is
-    the measured panel bottleneck on TPU), else the direct solve."""
+    ``config.cholesky_trsm_inverse``, else the direct triangular solve.
+    Measured on-chip (n=8192, b=512, same session): no difference between
+    the two (the wide TRSM is NOT the panel bottleneck on this chip), so
+    the plain solve is the default; the TRTRI+GEMM form stays available
+    for chips where TriangularSolve lowers poorly."""
     if config.cholesky_trsm_inverse:
         return A21 @ tri_inv_lower(Ljj).T
     return solve_triangular(Ljj, A21.T, lower=True).T
 
 
-def _panel_factor(P, subblock):
-    """Factorise one (M, b) leading panel column: returns the lower-
-    trapezoidal ``L`` with ``P[:b, :b] = L[:b] L[:b]^T`` (lower part) and
-    ``L[b:] = P[b:, :b] L[:b]^{-T}``.
+def _diag_factor(D, subblock):
+    """Cholesky of the (b, b) diagonal block.
 
     With ``subblock`` set, runs ``b / subblock`` right-looking inner steps
-    so the only serial leaves are ``chol(subblock)`` + a ``subblock``-sized
-    triangular inversion; the tall sub-column solves and the intra-panel
-    trailing updates are MXU matmuls.  This attacks the measured serial
-    bottleneck of the b=512 outer panels (PERF.md finding 8: the XLA
-    builtin ``chol(512)`` + 512-wide inversion sit on the critical path 16
-    times at n=8192).  ``subblock=None`` reproduces the round-1 one-shot
-    panel (builtin chol of the full diagonal block).
+    inside the block so the serial leaf shrinks from ``chol(b)`` to
+    ``chol(subblock)``; the sub-column solves and intra-block updates are
+    MXU matmuls.  Measured on-chip at n=8192/b=512 (same session):
+    sub-blocking is a slight LOSS (11.84 ms sub=128 vs 10.95 ms one-shot)
+    — the XLA builtin ``chol(512)`` leaf is not the critical-path cost the
+    round-1 profile suggested — so ``None`` (one-shot builtin) is the
+    default and the knob stays for other chip generations.
     """
-    b = P.shape[1]
+    b = D.shape[0]
     if subblock is None or subblock >= b:
-        Ljj = jnp.linalg.cholesky(P[:b, :b])
-        below = _panel_solve(Ljj, P[b:, :b])
-        return jnp.concatenate([Ljj, below], axis=0)
+        return jnp.linalg.cholesky(D)
     assert b % subblock == 0, (b, subblock)
     for k0 in range(0, b, subblock):
         k1 = k0 + subblock
-        Lkk = jnp.linalg.cholesky(P[k0:k1, k0:k1])
-        below = _panel_solve(Lkk, P[k1:, k0:k1])  # (M - k1, sb)
-        P = P.at[k0:k1, k0:k1].set(Lkk)
-        P = P.at[k1:, k0:k1].set(below)
+        Lkk = jnp.linalg.cholesky(D[k0:k1, k0:k1])
+        D = D.at[k0:k1, k0:k1].set(Lkk)
         if k1 < b:
-            # Intra-panel trailing update: cols k1..b of every row below
-            # the current sub-diagonal.  ``below[: b - k1]`` are the rows
-            # that own those columns' future diagonal/sub-diagonal blocks.
-            P = P.at[k1:, k1:].add(-below @ below[: b - k1, :].T)
-    # The diagonal block's strict upper triangle still holds stale
-    # symmetric entries; zero it so the factor matches the builtin exactly.
-    return jnp.concatenate([jnp.tril(P[:b]), P[b:]], axis=0)
+            below = _panel_solve(Lkk, D[k1:, k0:k1])
+            D = D.at[k1:, k0:k1].set(below)
+            D = D.at[k1:, k1:].add(-below @ below.T)
+    # The strict upper triangle still holds stale symmetric entries; zero
+    # it so the factor matches the builtin exactly.
+    return jnp.tril(D)
 
 
-def _blocked_cholesky_fwd(K, block, subblock):
+def _left_blocked_fwd(K, block, subblock):
+    """Left-looking blocked Cholesky, lower triangle.
+
+    Panel ``j`` applies ALL prior panels' contributions as ONE rectangular
+    GEMM (``L[j0:, :j0] @ L[j0:j0+b, :j0].T``) instead of maintaining a
+    running trailing-update buffer: same n³/3 FLOPs as the triangle-aware
+    right-looking form, but nb large MXU matmuls replace nb²/2 small syrk
+    updates + their dynamic-update-slice writes, and the only mutated
+    buffer is the factor itself (two disjoint slice writes per panel).
+    Measured on-chip at n=8192 (same session): 10.19 ms at b=256 vs
+    10.95 ms for the right-looking form at its best width (b=512) —
+    the buffer-update overhead, not FLOPs, was the difference.
+    """
+    n = K.shape[-1]
+    nb = n // block
+    L = jnp.zeros_like(K)
+    for j in range(nb):
+        j0 = j * block
+        S = K[j0:, j0 : j0 + block]
+        if j0:
+            S = S - L[j0:, :j0] @ L[j0 : j0 + block, :j0].T
+        Ljj = _diag_factor(S[:block], subblock)
+        L = L.at[j0 : j0 + block, j0 : j0 + block].set(Ljj)
+        if j0 + block < n:
+            L21 = _panel_solve(Ljj, S[block:])
+            L = L.at[j0 + block :, j0 : j0 + block].set(L21)
+    return L
+
+
+def _right_blocked_fwd(K, block, subblock):
     """Right-looking blocked Cholesky, lower triangle, triangle-aware.
 
     The trailing (syrk) update touches only the block-columns at or below
@@ -164,6 +189,13 @@ def _blocked_cholesky_fwd(K, block, subblock):
     multiple of ``block`` (callers pad; see :func:`blocked_cholesky`).
     The strict upper triangle of the result is exactly zero (the scatter
     target starts from zeros and only lower blocks are written).
+
+    The diagonal factor and the below-diagonal solve are written into
+    ``L`` as TWO disjoint slice updates, NOT concatenated into one
+    full-height panel write: the concat + single dynamic-update-slice
+    form measured 2.08x slower on-chip at n=8192 (22.8 vs 11.0 ms, same
+    session, identical math — XLA fails to update in place through the
+    concatenate and copies the buffer every panel).
     """
     n = K.shape[-1]
     nb = n // block
@@ -171,10 +203,11 @@ def _blocked_cholesky_fwd(K, block, subblock):
     A = K
     for j in range(nb):
         j0 = j * block
-        Lp = _panel_factor(A[j0:, j0 : j0 + block], subblock)
-        L = L.at[j0:, j0 : j0 + block].set(Lp)
+        Ljj = _diag_factor(A[j0 : j0 + block, j0 : j0 + block], subblock)
+        L = L.at[j0 : j0 + block, j0 : j0 + block].set(Ljj)
         if j0 + block < n:
-            L21 = Lp[block:]
+            L21 = _panel_solve(Ljj, A[j0 + block :, j0 : j0 + block])
+            L = L.at[j0 + block :, j0 : j0 + block].set(L21)
             for c in range(j + 1, nb):
                 c0 = c * block
                 upd = L21[c0 - j0 - block :, :] @ L21[c0 - j0 - block : c0 - j0, :].T
@@ -182,13 +215,14 @@ def _blocked_cholesky_fwd(K, block, subblock):
     return L
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
-def _blocked_cholesky(K, block, subblock):
-    return _blocked_cholesky_fwd(K, block, subblock)
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def _blocked_cholesky(K, block, subblock, left):
+    fwd = _left_blocked_fwd if left else _right_blocked_fwd
+    return fwd(K, block, subblock)
 
 
 @_blocked_cholesky.defjvp
-def _blocked_cholesky_jvp(block, subblock, primals, tangents):
+def _blocked_cholesky_jvp(block, subblock, left, primals, tangents):
     # Standard Cholesky differential: for K = L Lᵀ and symmetric dK,
     # dL = L φ(L⁻¹ dK L⁻ᵀ) with φ(A) = tril(A, -1) + diag(A)/2.  Linear in
     # dK through constant-L triangular solves, so JAX transposes it for
@@ -196,7 +230,7 @@ def _blocked_cholesky_jvp(block, subblock, primals, tangents):
     # two matmuls instead of differentiating through every panel.
     (K,) = primals
     (dK,) = tangents
-    L = _blocked_cholesky(K, block, subblock)
+    L = _blocked_cholesky(K, block, subblock, left)
     Lt = jnp.tril(L)
     dK = (dK + dK.T) / 2.0
     tmp = solve_triangular(Lt, dK, lower=True)
@@ -208,8 +242,8 @@ def _blocked_cholesky_jvp(block, subblock, primals, tangents):
 _UNSET = object()
 
 
-def blocked_cholesky(K, block=None, subblock=_UNSET):
-    """Triangle-aware blocked Cholesky of an SPD matrix (lower factor).
+def blocked_cholesky(K, block=None, subblock=_UNSET, left=None):
+    """Blocked Cholesky of an SPD matrix (lower factor).
 
     Faster than XLA's builtin factorisation on TPU for n >= ~4096 (see
     ``config.use_blocked_cholesky`` for measured numbers); exact same
@@ -218,15 +252,21 @@ def blocked_cholesky(K, block=None, subblock=_UNSET):
     by the panel width is handled by factorising ``blockdiag(K, I)`` —
     block-diagonal inputs have block-diagonal factors, so the top-left
     slice is exact.  The upper triangle is exactly zero by construction
-    (no ``tril`` pass is spent on it).  ``subblock`` (default from
-    ``config.blocked_cholesky_subblock``) sub-factorises each panel column
-    so the serial leaf is a ``subblock``-sized Cholesky (see
-    :func:`_panel_factor`).
+    (no ``tril`` pass is spent on it).  Two scheduling variants (``left``,
+    default from ``config.blocked_cholesky_left``): the left-looking form
+    (one big GEMM per panel — measured fastest, see
+    :func:`_left_blocked_fwd`) and the triangle-aware right-looking form
+    (:func:`_right_blocked_fwd`).  ``subblock`` (default from
+    ``config.blocked_cholesky_subblock``) sub-factorises each diagonal
+    block so the serial leaf is a ``subblock``-sized Cholesky (see
+    :func:`_diag_factor`).
     """
     if block is None:
         block = config.blocked_cholesky_block
     if subblock is _UNSET:
         subblock = config.blocked_cholesky_subblock
+    if left is None:
+        left = config.blocked_cholesky_left
     n = K.shape[-1]
     if n <= block:
         return jnp.linalg.cholesky(K)
@@ -238,7 +278,7 @@ def blocked_cholesky(K, block=None, subblock=_UNSET):
                 [jnp.zeros((pad, n), K.dtype), jnp.eye(pad, dtype=K.dtype)],
             ]
         )
-    L = _blocked_cholesky(K, block, subblock)
+    L = _blocked_cholesky(K, block, subblock, bool(left))
     return L[:n, :n] if pad else L
 
 

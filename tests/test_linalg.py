@@ -216,15 +216,37 @@ def test_psd_sample_factor_indefinite():
 def test_blocked_cholesky_matches_builtin():
     from gpar_tpu.ops.linalg import blocked_cholesky
 
-    # Exact-multiple and padded (n % block != 0) paths.
+    # Exact-multiple and padded (n % block != 0) paths, both panel
+    # schedules (left-looking production default and the triangle-aware
+    # right-looking form, ops/linalg._left_blocked_fwd/_right_blocked_fwd).
     for n, b in [(128, 32), (100, 32), (96, 96), (50, 64)]:
         K = jnp.asarray(_spd(n))
-        L = blocked_cholesky(K, block=b)
-        approx(L, jnp.linalg.cholesky(K), atol=1e-8)
+        for left in (True, False):
+            L = blocked_cholesky(K, block=b, left=left)
+            approx(L, jnp.linalg.cholesky(K), atol=1e-8)
+            assert not np.any(np.triu(np.asarray(L), 1))
+
+
+def test_blocked_cholesky_left_grad_matches_builtin():
+    from gpar_tpu.ops.linalg import blocked_cholesky
+
+    n, b = 96, 32
+    A = rng.normal(size=(n, n))
+
+    def loss(chol):
+        def f(a):
+            L = chol(a @ a.T + n * jnp.eye(n))
+            return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L**2)
+
+        return jax.grad(f)(jnp.asarray(A))
+
+    g1 = loss(lambda K: blocked_cholesky(K, block=b, left=True))
+    g2 = loss(jnp.linalg.cholesky)
+    approx(g1, g2, atol=1e-8)
 
 
 def test_blocked_cholesky_subblocked_panels_match_builtin():
-    # Sub-blocked panel factorisation (ops/linalg._panel_factor,
+    # Sub-blocked diagonal factorisation (ops/linalg._diag_factor,
     # config.blocked_cholesky_subblock): the inner right-looking steps must
     # reproduce the one-shot panel exactly — including the padded tail
     # (n % block != 0), multi-panel chains, and subblock == block (inner
