@@ -519,7 +519,9 @@ class GPARRegressor:
         body; ``"batched"`` runs all layers' L-BFGS in one vmap when the
         layers are provably independent (dense, fully-observed,
         ``replace=False``, ``scale_tie=False`` — see
-        ``models/fused.py:make_batched_fit_body``); ``"unroll"`` forces
+        ``models/fused.py:make_batched_fit_body``; measured ~2× slower
+        than the scan body on-chip at EEG scale, PERF.md finding 15, so
+        never auto-selected); ``"unroll"`` forces
         the round-1 unrolled body; ``False`` the per-layer host driver.
         """
         if greedy:
