@@ -171,6 +171,18 @@ class _Config:
         #: tail); False forces the unrolled path everywhere
         #: (oracle/fallback).
         self.scan_predict = True
+        #: Repeated-serving fast path: cache the per-layer posterior
+        #: factors (sparse: Titsias Lm/LB/beta + augmented inducing
+        #: inputs; dense: alpha + Cholesky factors + augmented training
+        #: inputs) across ``predict``/``sample`` calls, so only the
+        #: test-point math runs per call.  Invalidates automatically on
+        #: refit/recondition (keyed on the latent vector + data
+        #: fingerprint).  False = re-condition every call (the reference
+        #: behaviour, ``gpar/regression.py:547``).
+        self.posterior_cache = True
+        #: Dense factor stacks above this size skip the cache (they hold
+        #: p (n, n) Cholesky factors; sparse stacks are always small).
+        self.posterior_cache_max_bytes = 1 << 30
 
 
 config = _Config()

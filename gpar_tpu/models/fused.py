@@ -671,6 +671,162 @@ def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scal
     return program
 
 
+def make_scan_posterior_factors(plan, x_ind):
+    """Stage A of the split serving path: per-layer posterior factors.
+
+    Runs the conditioning half of :func:`make_scan_predict_tail` — the
+    closed-downwards chain of ``GPAR.__or__`` (``gpar/model.py:148-176``)
+    with ``replace=True`` input augmentation — and returns the stacked
+    per-layer posterior factors instead of consuming them in place:
+
+    - sparse (Titsias): the augmented inducing inputs at layer entry
+      ``zi_aug`` (p, M, W) plus ``Lm``/``LB`` (p, M, M) and ``beta``
+      (p, M) — everything the sparse posterior needs at new test points
+      (``gp/core.py:SparsePosteriorGP``);
+    - dense: the augmented training inputs at layer entry ``x_aug``
+      (p, n, W) plus ``alpha`` (p, n) and the Cholesky factor ``L``
+      (p, n, n) (``gp/core.py:PosteriorGP``).
+
+    The factors depend only on (hyperparameters, conditioning data), NOT
+    on the test points — so ``GPARRegressor`` computes them once per
+    (fit, dataset) and reuses them across ``predict``/``sample`` calls
+    (the repeated-serving fast path; the reference re-conditions on every
+    ``sample`` call, ``gpar/regression.py:547``).  Contract, pinned by
+    ``tests/test_fused_scan.py``: composing this with
+    :func:`make_scan_cached_tail` reproduces
+    :func:`make_scan_predict_tail` bit-exactly.
+    """
+    if not plan.replace:
+        raise ValueError(
+            "make_scan_posterior_factors requires replace=True chains."
+        )
+    m, W, n = plan.m, plan.W, plan.n
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def factors(z_all, x):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        if sparse:
+            zi = jnp.asarray(x_ind, dtype=dtype)
+            zi_aug = jnp.concatenate(
+                [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug = jnp.zeros((0, W), dtype)
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+
+        def step(carry, lin):
+            x_aug, zi_aug = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+            noise_w = floor_noise(noise / lin["w_col"])
+            omask = lin["obs_mask"]
+            r = lin["y_col"]
+            if sparse:
+                Kmm = gram(kernel, zi_aug, zi_aug)
+                Kmn = gram(kernel, zi_aug, x_aug)
+                knn = kdiag(kernel, x_aug)
+                _, Lm, LB, beta = titsias_factors(
+                    Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
+                )
+                est_rows = Kmn.T @ beta
+                est_ind = Kmm @ beta
+                out = {"zi_aug": zi_aug, "Lm": Lm, "LB": LB, "beta": beta}
+            else:
+                K = gram(kernel, x_aug, x_aug)
+                _, alpha, L = _masked_dense_factors(K, r, omask, noise_w, eps)
+                est_rows = K @ alpha
+                est_ind = None
+                out = {"x_aug": x_aug, "alpha": alpha, "L": L}
+            x_aug, zi_aug = _augment_cols(
+                plan, lin, est_rows, est_ind, x_aug, zi_aug
+            )
+            return (x_aug, zi_aug), out
+
+        _, outs = lax.scan(step, (x_aug, zi_aug), xs)
+        return outs
+
+    return factors
+
+
+def make_scan_cached_tail(plan, latent):
+    """Stage B of the split serving path: Monte-Carlo predictive sampling
+    from the cached per-layer factors of
+    :func:`make_scan_posterior_factors`.
+
+    Identical math and per-sample key stream as the test-point half of
+    :func:`make_scan_predict_tail` (three-way split per layer, draw with
+    the middle key, the same PSD factor ``FDD.sample`` uses,
+    ``gpar/model.py:259-276``), so samples bit-match the single-scan tail
+    and the vmapped unrolled chain.  The layer kernels are rebuilt from
+    the (tiny) latent vector each call; only the O(n·m²)/O(n³)
+    conditioning factors are reused.
+
+    Returns ``tail(z_all, factors, x_test, w_test_T, keys) -> (batch,
+    mean_chain)`` matching :func:`make_scan_predict_tail`'s outputs.
+    """
+    if not plan.replace:
+        raise ValueError("make_scan_cached_tail requires replace=True chains.")
+    m, W = plan.m, plan.W
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def tail(z_all, factors, x_test, w_test_T, keys):
+        dtype = x_test.dtype
+        n_test = x_test.shape[0]
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        xt_aug = jnp.concatenate(
+            [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
+        )
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
+        xs["fac"] = factors
+
+        def step(carry, lin):
+            xt_aug, keys = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+            fac = lin["fac"]
+            if sparse:
+                Kmt = gram(kernel, fac["zi_aug"], xt_aug)
+                mean_t = Kmt.T @ fac["beta"]
+                T1 = solve_lower(fac["Lm"], Kmt)
+                T2 = solve_lower(fac["LB"], T1)
+                cov_t = gram(kernel, xt_aug, xt_aug) - T1.T @ T1 + T2.T @ T2
+            else:
+                Kxt = gram(kernel, fac["x_aug"], xt_aug) * lin["obs_mask"][:, None]
+                mean_t = Kxt.T @ fac["alpha"]
+                V = solve_lower(fac["L"], Kxt)
+                cov_t = gram(kernel, xt_aug, xt_aug) - V.T @ V
+
+            if latent:
+                F = psd_sample_factor(cov_t)
+            else:
+                F = psd_sample_factor(
+                    cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
+                )
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # (S, 3)
+            keys_next, k1s = ks[:, 0], ks[:, 1]
+            Z = jax.vmap(
+                lambda k: jax.random.normal(k, (n_test,), dtype)
+            )(k1s)  # (S, n_test)
+            ys = mean_t[None, :] + Z @ F.T  # (S, n_test)
+
+            col = m + lin["col"]
+            xt_aug = lax.dynamic_update_slice(
+                xt_aug,
+                mean_t[:, None],
+                (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+            )
+            return (xt_aug, keys_next), (ys, mean_t)
+
+        _, (ys_stack, mean_stack) = lax.scan(step, (xt_aug, keys), xs)
+        return jnp.transpose(ys_stack, (1, 2, 0)), mean_stack.T
+
+    return tail
+
+
 def make_scan_predict_tail(plan, x_ind, latent):
     """Scan-fused posterior conditioning + Monte-Carlo predictive sampling.
 

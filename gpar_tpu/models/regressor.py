@@ -337,6 +337,9 @@ class GPARRegressor:
         # Host-side per-dataset caches (populated by condition()).
         self._y_cache = None
         self._data_fingerprint = None
+        # Single-slot device-side posterior-factor cache (the repeated-
+        # serving fast path; see _posterior_factors / precompute()).
+        self._factor_cache = None
         self._vars_ready = None
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
@@ -489,6 +492,9 @@ class GPARRegressor:
         }
         self._data_fingerprint = _fingerprint(y_np, w_np, self.x_ind)
         self._vars_ready = None
+        # Posterior factors belong to the previous dataset; release the
+        # device memory eagerly (the key would miss anyway).
+        self._factor_cache = None
 
     def fit(self, x, y, w=None, greedy=False, fix=True, **kw_args):
         """Fit the model to data (``gpar/regression.py:391-459``).
@@ -1556,19 +1562,37 @@ class GPARRegressor:
         from ..config import config as _cfg
 
         scan_tail = posterior and self.replace and _cfg.scan_predict
+        factors = None
         if scan_tail:
-            from .fused import build_scan_fit_plan, make_scan_predict_tail
+            from .fused import build_scan_fit_plan
 
             plan = build_scan_fit_plan(self, names)
-            tail = make_scan_predict_tail(plan, self.x_ind, latent)
+            if self._factor_cache_eligible(plan):
+                # Repeated-serving fast path: reuse the per-layer posterior
+                # factors across predict/sample calls (the reference
+                # re-conditions on every call, ``gpar/regression.py:547``).
+                from .fused import make_scan_cached_tail
 
-            def program(z, x_data, x_test, w_test, keys):
-                batch, _ = tail(z, x_data, x_test, w_test.T, keys)
-                return batch
+                factors = self._posterior_factors(plan, names, z)
+                tail = make_scan_cached_tail(plan, latent)
+
+                def program(z, factors, x_test, w_test, keys):
+                    batch, _ = tail(z, factors, x_test, w_test.T, keys)
+                    return batch
+
+            else:
+                from .fused import make_scan_predict_tail
+
+                tail = make_scan_predict_tail(plan, self.x_ind, latent)
+
+                def program(z, x_data, x_test, w_test, keys):
+                    batch, _ = tail(z, x_data, x_test, w_test.T, keys)
+                    return batch
 
         cache_key = (
             "sample",
             scan_tail,
+            factors is not None,
             x.shape,
             num_samples,
             latent,
@@ -1581,13 +1605,98 @@ class GPARRegressor:
         if sample_fn is None:
             sample_fn = jax.jit(program)
             self._jit_cache[cache_key] = sample_fn
-        batch = sample_fn(z, x_data, x, w, keys)
+        if factors is not None:
+            batch = sample_fn(z, factors, x, w, keys)
+        else:
+            batch = sample_fn(z, x_data, x, w, keys)
         batch = np.asarray(undo_transforms(batch))[:num_samples]
         # Greedy-ordered layers -> original output columns (prior samples
         # of a different chain length stay in layer order).
         batch = self._unpermute_outputs(batch, strict=posterior)
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
+
+    def _factor_cache_eligible(self, plan):
+        """Whether the posterior-factor cache engages for this model/data.
+
+        Sparse factors are O(p·M²) — always cheap.  Dense factors stack
+        the per-layer (n, n) Cholesky factors, O(p·n²) memory, so they are
+        gated by ``config.posterior_cache_max_bytes`` (a p=16 / n=10k f32
+        stack is ~6.4 GB — bigger than the win).  ``config.posterior_cache
+        = False`` disables the cache entirely (every call re-conditions,
+        the reference behaviour, ``gpar/regression.py:547``).
+        """
+        from ..config import config as _cfg
+
+        if not _cfg.posterior_cache:
+            return False
+        if plan.sparse:
+            return True
+        itemsize = np.dtype(np.asarray(self.x).dtype).itemsize
+        bytes_needed = plan.p * plan.n * (plan.n + plan.W + 1) * itemsize
+        return bytes_needed <= _cfg.posterior_cache_max_bytes
+
+    def _posterior_factors(self, plan, names, z):
+        """Per-layer posterior factors for the current (hyperparameters,
+        conditioning data), computed at most once per (fit, dataset).
+
+        Keyed by the latent vector's bytes + the data fingerprint, so a
+        refit or recondition naturally misses; one slot is kept (the
+        previous fit's factors are garbage the moment ``z`` changes).
+        """
+        key = (
+            self._data_fingerprint,
+            self.p,
+            mesh_descriptor(),
+            np.asarray(z).tobytes(),
+        )
+        slot = self._factor_cache
+        if slot is not None and slot[0] == key:
+            return slot[1]
+        jit_key = ("pfactors", self.p, mesh_descriptor(), self._data_fingerprint)
+        fn = self._jit_cache.get(jit_key)
+        if fn is None:
+            from .fused import make_scan_posterior_factors
+
+            fn = jax.jit(make_scan_posterior_factors(plan, self.x_ind))
+            self._jit_cache[jit_key] = fn
+        factors = fn(z, self.x)
+        self._factor_cache = (key, factors)
+        return factors
+
+    def precompute(self):
+        """Warm the repeated-serving fast path: compute and cache the
+        per-layer posterior factors for the current hyperparameters and
+        conditioning data, so the next ``predict``/``sample`` calls skip
+        the O(n·m²) (sparse) / O(n³) (dense) conditioning work and only
+        run the test-point math.
+
+        Beyond the reference (which re-conditions inside every ``sample``
+        call, ``gpar/regression.py:547``); a no-op when the scan serving
+        tail does not apply (``replace=False``, ``config.scan_predict``
+        off, or a dense factor stack over
+        ``config.posterior_cache_max_bytes``).  Factors are invalidated
+        automatically by ``fit``/``condition`` (the cache keys on the
+        latent vector and the data fingerprint).  Returns True when
+        factors were computed (or already cached), False when ineligible.
+        """
+        from ..config import config as _cfg
+
+        if not self.is_conditioned:
+            raise RuntimeError(
+                "Must condition or fit model before precomputing factors."
+            )
+        if not (self.replace and _cfg.scan_predict):
+            return False
+        self._ensure_vars(self.p)
+        names = self.vs.select(None)
+        from .fused import build_scan_fit_plan
+
+        plan = build_scan_fit_plan(self, names)
+        if not self._factor_cache_eligible(plan):
+            return False
+        self._posterior_factors(plan, names, self.vs.latent_vector(names))
+        return True
 
     def predict(
         self,

@@ -280,6 +280,103 @@ def test_scan_predict_tail_requires_replace():
         make_scan_predict_tail(plan, None, latent=False)
 
 
+@pytest.mark.parametrize("sparse", [False, True])
+def test_posterior_factor_cache_matches_uncached(sparse):
+    # Repeated-serving fast path (regressor._posterior_factors +
+    # models/fused.make_scan_posterior_factors/make_scan_cached_tail):
+    # sampling from cached per-layer factors must reproduce the
+    # re-conditioning single-scan tail exactly, and the second call must
+    # reuse the cached slot rather than recomputing.
+    from gpar_tpu import config
+
+    x, y = _data(missing=True)
+    kw = dict(noise=0.1, impute=True, replace=True, normalise_y=True)
+    if sparse:
+        kw["x_ind"] = np.linspace(0, 6, 9)
+    reg = GPARRegressor(**kw)
+    reg.fit(x, y, iters=4, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(-0.5, 6.5, 23)
+    key = jax.random.PRNGKey(7)
+
+    assert config.posterior_cache  # default on
+    assert reg.precompute() is True
+    slot = reg._factor_cache
+    assert slot is not None
+    s_cached = reg.sample(x_test, posterior=True, num_samples=3, key=key)
+    assert reg._factor_cache is slot  # predict reused the precomputed slot
+    s_cached2 = reg.sample(x_test, posterior=True, num_samples=3, key=key)
+    try:
+        config.posterior_cache = False
+        s_plain = reg.sample(x_test, posterior=True, num_samples=3, key=key)
+    finally:
+        config.posterior_cache = True
+    for a, b in zip(s_cached, s_cached2):
+        approx(a, b, atol=0)  # cache hit is deterministic
+    for a, b in zip(s_cached, s_plain):
+        approx(a, b, atol=1e-9)
+
+
+def test_posterior_factor_cache_invalidates_on_refit():
+    from gpar_tpu import config
+
+    x, y = _data()
+    reg = GPARRegressor(
+        noise=0.1, replace=True, normalise_y=True, x_ind=np.linspace(0, 6, 9)
+    )
+    reg.fit(x, y, iters=2, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(0, 6, 17)
+    key = jax.random.PRNGKey(11)
+    reg.sample(x_test, posterior=True, num_samples=2, key=key)
+    old_key = reg._factor_cache[0]
+
+    # Refit to a different optimum: the latent vector changes, the slot
+    # must be replaced, and the cached prediction must equal a fresh
+    # uncached one at the NEW hyperparameters.
+    reg.fit(x, y, iters=8, key=jax.random.PRNGKey(1))
+    s_cached = reg.sample(x_test, posterior=True, num_samples=2, key=key)
+    assert reg._factor_cache[0] != old_key
+    try:
+        config.posterior_cache = False
+        s_plain = reg.sample(x_test, posterior=True, num_samples=2, key=key)
+    finally:
+        config.posterior_cache = True
+    for a, b in zip(s_cached, s_plain):
+        approx(a, b, atol=1e-9)
+
+    # Reconditioning on new data releases the slot eagerly.
+    reg.condition(x, y + 0.1)
+    assert reg._factor_cache is None
+
+
+def test_precompute_ineligible_paths():
+    from gpar_tpu import config
+
+    x, y = _data()
+    # replace=False: the scan serving tail does not apply.
+    reg = GPARRegressor(noise=0.1, replace=False, normalise_y=True)
+    reg.fit(x, y, iters=0, key=jax.random.PRNGKey(0))
+    assert reg.precompute() is False
+    # Unconditioned: clear error.
+    with pytest.raises(RuntimeError, match="condition"):
+        GPARRegressor(noise=0.1).precompute()
+    # Dense factor stack over the byte budget falls back to
+    # re-conditioning (and still samples correctly).
+    reg2 = GPARRegressor(noise=0.1, replace=True, normalise_y=True)
+    reg2.fit(x, y, iters=0, key=jax.random.PRNGKey(0))
+    old = config.posterior_cache_max_bytes
+    try:
+        config.posterior_cache_max_bytes = 8
+        assert reg2.precompute() is False
+        s = reg2.sample(
+            np.linspace(0, 6, 9), posterior=True, num_samples=2,
+            key=jax.random.PRNGKey(3),
+        )
+        assert reg2._factor_cache is None
+        assert all(np.isfinite(si).all() for si in s)
+    finally:
+        config.posterior_cache_max_bytes = old
+
+
 def test_gate_kernel_equals_select():
     # The Gate combinator (ops/kernels.py) is the shape-uniform select:
     # gating out columns must equal statically selecting the complement.
