@@ -1216,6 +1216,7 @@ class GPARRegressor:
             scan and self.replace and _cfg.scan_predict and _cfg.mesh is None
         )
 
+        cache_factors = False
         if scan_tail:
             from .fused import (
                 build_scan_fit_plan,
@@ -1228,21 +1229,55 @@ class GPARRegressor:
                 plan, self.x_ind, iters, gtol, memory_size, restarts,
                 restart_scale,
             )
-            tail = make_scan_predict_tail(plan, self.x_ind, latent)
+            # When the posterior-factor cache is eligible, run the split
+            # serving tail and RETURN the factors so follow-up predict/
+            # sample calls skip conditioning entirely (finding 18); the
+            # single-scan tail remains for big dense stacks, where
+            # materialising p (n, n) factors would cost more HBM than the
+            # cache saves.
+            cache_factors = self._factor_cache_eligible(plan)
+            if cache_factors:
+                from .fused import (
+                    make_scan_cached_tail,
+                    make_scan_posterior_factors,
+                )
 
-            def program(z0, x_arr, x_test, w_test, keys, layer_keys):
-                z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
-                    z0, x_arr, layer_keys
-                )
-                batch, _ = tail(z_final, x_arr, x_test, w_test.T, keys)
-                batch = self._untransform_y(self._unnormalise_y(batch))
-                mean = jnp.mean(batch, axis=0)
-                lowers = jnp.percentile(batch, 2.5, axis=0)
-                uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
-                return (
-                    z_final, layer_nll, layer_iters, layer_nll0,
-                    mean, lowers, uppers,
-                )
+                factors_fn = make_scan_posterior_factors(plan, self.x_ind)
+                tail_cached = make_scan_cached_tail(plan, latent)
+
+                def program(z0, x_arr, x_test, w_test, keys, layer_keys):
+                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                        z0, x_arr, layer_keys
+                    )
+                    factors = factors_fn(z_final, x_arr)
+                    batch, _ = tail_cached(
+                        z_final, factors, x_test, w_test.T, keys
+                    )
+                    batch = self._untransform_y(self._unnormalise_y(batch))
+                    mean = jnp.mean(batch, axis=0)
+                    lowers = jnp.percentile(batch, 2.5, axis=0)
+                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+                    return (
+                        z_final, layer_nll, layer_iters, layer_nll0,
+                        mean, lowers, uppers, factors,
+                    )
+
+            else:
+                tail = make_scan_predict_tail(plan, self.x_ind, latent)
+
+                def program(z0, x_arr, x_test, w_test, keys, layer_keys):
+                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                        z0, x_arr, layer_keys
+                    )
+                    batch, _ = tail(z_final, x_arr, x_test, w_test.T, keys)
+                    batch = self._untransform_y(self._unnormalise_y(batch))
+                    mean = jnp.mean(batch, axis=0)
+                    lowers = jnp.percentile(batch, 2.5, axis=0)
+                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+                    return (
+                        z_final, layer_nll, layer_iters, layer_nll0,
+                        mean, lowers, uppers, None,
+                    )
 
         else:
             fit_body = self._build_fit_body(
@@ -1284,13 +1319,14 @@ class GPARRegressor:
                 uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
                 return (
                     z_final, layer_nll, layer_iters, layer_nll0,
-                    mean, lowers, uppers,
+                    mean, lowers, uppers, None,
                 )
 
         cache_key = (
             "fit_predict",
             scan,
             scan_tail,
+            cache_factors,
             self.n,
             self.m,
             self.p,
@@ -1313,11 +1349,25 @@ class GPARRegressor:
         import time as _time
 
         t0 = _time.time()
-        z_final, layer_nll, layer_iters, layer_nll0, mean, lowers, uppers = fn(
+        (
+            z_final, layer_nll, layer_iters, layer_nll0,
+            mean, lowers, uppers, factors,
+        ) = fn(
             self.vs.latent_vector(all_names), self.x, x_test, w_test, keys, layer_keys
         )
         jax.block_until_ready(mean)
         self.vs.set_latent_vector(all_names, z_final)
+        if factors is not None:
+            # Seed the repeated-serving fast path with the freshly fitted
+            # factors (same key _posterior_factors will compute: the store
+            # round-trips z_final through NumPy bit-exactly).
+            fac_key = (
+                self._data_fingerprint,
+                self.p,
+                mesh_descriptor(),
+                np.asarray(z_final).tobytes(),
+            )
+            self._factor_cache = (fac_key, factors)
         self.last_fit_report = {
             "layer_nll": np.asarray(layer_nll),
             "layer_nll0": np.asarray(layer_nll0),

@@ -348,6 +348,35 @@ def test_posterior_factor_cache_invalidates_on_refit():
     assert reg._factor_cache is None
 
 
+def test_fit_predict_seeds_factor_cache():
+    # fit_predict's fused program returns the per-layer factors it already
+    # computed, seeding the repeated-serving cache: the follow-up sample
+    # must reuse the slot (no factor recomputation) and match an uncached
+    # re-conditioning run at the fitted hyperparameters.
+    from gpar_tpu import config
+
+    x, y = _data()
+    reg = GPARRegressor(
+        noise=0.1, replace=True, impute=True, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    x_test = np.linspace(0, 6, 15)
+    reg.fit_predict(x, y, x_test, iters=3, num_samples=4,
+                    key=jax.random.PRNGKey(0))
+    slot = reg._factor_cache
+    assert slot is not None
+    key = jax.random.PRNGKey(2)
+    s = reg.sample(x_test, posterior=True, num_samples=2, key=key)
+    assert reg._factor_cache is slot  # hit, not recomputed
+    try:
+        config.posterior_cache = False
+        s2 = reg.sample(x_test, posterior=True, num_samples=2, key=key)
+    finally:
+        config.posterior_cache = True
+    for a, b in zip(s, s2):
+        approx(a, b, atol=1e-9)
+
+
 def test_precompute_ineligible_paths():
     from gpar_tpu import config
 

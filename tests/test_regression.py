@@ -143,12 +143,15 @@ def test_logpdf(xw):
     reg.condition(x, y, w)
     approx(reg.logpdf(x, y, w, posterior=True), float(logpdf1 + logpdf2), atol=1e-6)
 
-    # Sampling missing gives a stochastic estimate.
+    # Sampling missing gives a stochastic estimate.  Explicit keys: with
+    # the implicit global stream the two draws can land within the 1e-2
+    # all_different threshold depending on how many keys earlier tests
+    # consumed (observed once under a different suite ordering).
     y = np.asarray(y).copy()
     y[::2, 0] = np.nan
     all_different(
-        reg.logpdf(x, y, w, sample_missing=True),
-        reg.logpdf(x, y, w, sample_missing=True),
+        reg.logpdf(x, y, w, sample_missing=True, key=jax.random.PRNGKey(101)),
+        reg.logpdf(x, y, w, sample_missing=True, key=jax.random.PRNGKey(202)),
     )
 
 
