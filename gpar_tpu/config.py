@@ -183,6 +183,14 @@ class _Config:
         #: Dense factor stacks above this size skip the cache (they hold
         #: p (n, n) Cholesky factors; sparse stacks are always small).
         self.posterior_cache_max_bytes = 1 << 30
+        #: Per-sample serving (``replace=False``, the reference default)
+        #: draws each Monte-Carlo sample through its own posterior
+        #: covariance (the sampled outputs feed forward).  ``None`` vmaps
+        #: the whole sample batch — peak memory O(S * n_test^2) per layer,
+        #: the same profile as the unrolled path.  An integer processes
+        #: the sample axis in ``lax.map`` chunks of that size, bounding
+        #: peak memory at O(chunk * n_test^2) for large test sets.
+        self.predict_sample_chunk = None
 
 
 config = _Config()
@@ -248,6 +256,7 @@ def mesh_descriptor():
         config.blocked_cholesky_left,
         config.cholesky_trsm_inverse,
         config.dense_shard_block,
+        config.predict_sample_chunk,
     )
 
 

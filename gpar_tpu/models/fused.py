@@ -41,10 +41,19 @@ unrolled fused path.
 
 Scope: all kernel options (rq, per, input_linear, markov, scale_tie),
 sparse + dense, impute/replace, missing data, and vmapped restarts.
-Under an active ``use_mesh``, sparse fits run the SAME scan inside one
-``shard_map`` (rows sharded, ELBO psum-reduced — see
-:func:`make_scan_fit_body`); dense fits and the predict tail fall back
-to the unrolled bodies, which shard through the GP core.
+Under an active ``use_mesh``, fits run the SAME scan inside one
+``shard_map`` (rows sharded; sparse layers psum-reduce the Titsias ELBO,
+dense layers factorise through the distributed blocked Cholesky of
+``parallel/dense.py`` — see :func:`make_scan_fit_body`), and the serving
+tails run GSPMD-partitioned with the Monte-Carlo key batch sharded over
+devices.  Small-n fits fall back to the unrolled bodies, which shard
+through the GP core.
+
+Serving tails: :func:`make_scan_predict_tail` (replace=True, shared
+factors), :func:`make_scan_posterior_factors` +
+:func:`make_scan_cached_tail` (replace=True, repeated serving) /
+:func:`make_scan_ancestral_tail` (replace=False, per-sample chains —
+the reference's default predictive configuration).
 """
 
 from dataclasses import dataclass
@@ -74,6 +83,7 @@ __all__ = [
     "ScanFitPlan",
     "build_scan_fit_plan",
     "make_batched_fit_body",
+    "make_scan_ancestral_tail",
     "make_scan_fit_body",
     "make_scan_predict_tail",
 ]
@@ -419,19 +429,38 @@ def make_scan_fit_body(
     (z_final, layer_nll, layer_iters, layer_nll0)`` — same contract as
     ``regressor._build_fused_fit_body`` but one compiled layer body.
 
-    With ``mesh`` set (sparse plans only), the whole scan runs inside one
-    ``shard_map`` over the mesh: data rows (the augmented buffer and every
-    per-layer (p, n) scan input) shard over ``shard_axis``, the layer ELBO
-    reduces through :func:`gpar_tpu.parallel.sharded.titsias_psum_body`
-    (one (m, m) psum + one scalar psum per evaluation), and the m-scale
-    L-BFGS state stays replicated in lockstep on every device — O(n m²/P)
-    per device AND cold compile O(1) in p, combining the two scaling axes.
-    Rows are padded to a device multiple with zeroed masks (the exact
-    neutralisation ``titsias_psum_body`` documents).
+    With ``mesh`` set, the whole scan runs inside one ``shard_map`` over
+    the mesh: data rows (the augmented buffer and every per-layer (p, n)
+    scan input) shard over ``shard_axis`` and the small L-BFGS state stays
+    replicated in lockstep on every device — cold compile O(1) in p AND
+    per-device work O(1/P) in n, combining the two scaling axes.
+
+    - Sparse plans: the layer ELBO reduces through
+      :func:`gpar_tpu.parallel.sharded.titsias_psum_body` (one (m, m)
+      psum + one scalar psum per evaluation) — O(n m²/P) per device.
+    - Dense plans: the masked covariance rows are built locally
+      (``gram(kernel, x_local, x_full)`` after one (n, W) all_gather) and
+      factorised cooperatively by the distributed blocked Cholesky with
+      its distributed custom-VJP backward
+      (``parallel/dense._chol_logpdf_core``) — O(n³/P) compute and
+      O(n²/P) memory per device.
+
+    Rows are padded to the device geometry with zeroed masks — identity
+    rows in the dense covariance, ``D^{-1} = 0`` in the ELBO — the exact
+    neutralisation both distributed kernels document.
     """
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
+
+    dense_block = None
+    if mesh is not None and not sparse:
+        from ..config import config as _cfg
+        from ..parallel.dense import _pad_geometry
+
+        _nloc, dense_block = _pad_geometry(
+            n, mesh.devices.size, _cfg.dense_shard_block
+        )
 
     def _scan_chain(z_all, x_local, xs, n_rows):
         """The shared scan over layers; ``x_local``/(p, n_rows) scan inputs
@@ -478,6 +507,31 @@ def make_scan_fit_body(
                     Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
                 )
                 return -elbo, (Kmm, Kmn, beta)
+            if mesh is not None:
+                # Distributed masked dense factors: the same construction
+                # as parallel/dense.sharded_dense_factors, but on the
+                # scan's per-layer masks (padding and per_output routing
+                # are both just masked-out identity rows).
+                from ..parallel.dense import _chol_logpdf_core
+
+                n_local = x_aug.shape[0]
+                n_tot = n_local * mesh.devices.size
+                x_full = lax.all_gather(x_aug, shard_axis, axis=0, tiled=True)
+                mask_full = lax.all_gather(omask, shard_axis, axis=0, tiled=True)
+                K_local = gram(kernel, x_aug, x_full)
+                A_local = K_local * (omask[:, None] * mask_full[None, :])
+                grows = lax.axis_index(shard_axis) * n_local + jnp.arange(
+                    n_local
+                )
+                col_is_diag = grows[:, None] == jnp.arange(n_tot)[None, :]
+                diag_term = omask * (noise_w + eps) + (1.0 - omask)
+                A_local = A_local + jnp.where(
+                    col_is_diag, diag_term[:, None], 0.0
+                )
+                logpdf, _L_local, alpha = _chol_logpdf_core(
+                    (shard_axis, dense_block), A_local, r * omask, omask
+                )
+                return -logpdf, (K_local, alpha)
             K = gram(kernel, x_aug, x_aug)
             logpdf, alpha, _ = _masked_dense_factors(K, r, omask, noise_w, eps)
             return -logpdf, (K, alpha)
@@ -535,31 +589,46 @@ def make_scan_fit_body(
 
         return program
 
-    if not sparse:
-        raise ValueError(
-            "make_scan_fit_body(mesh=...) supports sparse (inducing-point) "
-            "plans only; dense fits under a mesh use the unrolled body."
-        )
-
     from jax.sharding import PartitionSpec as PSpec
 
     n_dev = mesh.devices.size
-    n_pad = (-n) % n_dev
+    if sparse:
+        n_pad = (-n) % n_dev
+    else:
+        # The distributed Cholesky needs per-device rows in whole panels.
+        n_pad = n_dev * _nloc - n
     # Per-layer scan inputs carrying one value per data row (sharded along
     # the row axis); everything else is replicated.
     row_keys = ("route_mask", "obs_mask", "avail", "y_col", "w_col")
 
+    from jax.sharding import NamedSharding
+
+    # Pad the per-layer row arrays host-side and install them on the mesh
+    # with explicit shardings at BUILD time.  Closing over committed
+    # ``jax.Array``s (instead of numpy constants materialised inside the
+    # trace) keeps this data out of XLA's constant folder — whose
+    # evaluation through the shard_map collectives was observed to be
+    # WRONG on some hosts (NaN objectives on XLA:CPU; the identical
+    # program with the data as parameters is correct) — and out of the
+    # compiled program's literal pool.
+    xs_dev = {}
+    for k, v in xs_np.items():
+        v = np.asarray(v)
+        if k in row_keys:
+            if n_pad:
+                # w pads with 1 (it divides the noise); masks/data with
+                # 0 — masked rows contribute exactly nothing
+                # (titsias_psum_body / identity rows in the dense factor).
+                cval = 1.0 if k == "w_col" else 0.0
+                v = np.pad(v, ((0, 0), (0, n_pad)), constant_values=cval)
+            sharding = NamedSharding(mesh, PSpec(None, shard_axis))
+        else:
+            sharding = NamedSharding(mesh, PSpec())
+        xs_dev[k] = jax.device_put(v, sharding)
+
     def program(z_all, x, layer_keys):
         x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
-        if n_pad:
-            for k in row_keys:
-                # w pads with 1 (it divides the noise); masks/data with 0 —
-                # masked rows contribute exactly nothing (titsias_psum_body).
-                cval = 1.0 if k == "w_col" else 0.0
-                xs[k] = jnp.pad(
-                    xs[k], ((0, 0), (0, n_pad)), constant_values=cval
-                )
+        xs = dict(xs_dev)
         xs["key"] = layer_keys
 
         xs_specs = {
@@ -674,10 +743,12 @@ def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scal
 def make_scan_posterior_factors(plan, x_ind):
     """Stage A of the split serving path: per-layer posterior factors.
 
-    Runs the conditioning half of :func:`make_scan_predict_tail` — the
-    closed-downwards chain of ``GPAR.__or__`` (``gpar/model.py:148-176``)
-    with ``replace=True`` input augmentation — and returns the stacked
-    per-layer posterior factors instead of consuming them in place:
+    Runs the conditioning half of the serving path — the closed-downwards
+    chain of ``GPAR.__or__`` (``gpar/model.py:148-176``) with the plan's
+    impute/replace input-augmentation rules (any combination: the training
+    chain is sample-independent regardless, since estimates are posterior
+    means) — and returns the stacked per-layer posterior factors instead
+    of consuming them in place:
 
     - sparse (Titsias): the augmented inducing inputs at layer entry
       ``zi_aug`` (p, M, W) plus ``Lm``/``LB`` (p, M, M) and ``beta``
@@ -693,13 +764,11 @@ def make_scan_posterior_factors(plan, x_ind):
     (the repeated-serving fast path; the reference re-conditions on every
     ``sample`` call, ``gpar/regression.py:547``).  Contract, pinned by
     ``tests/test_fused_scan.py``: composing this with
-    :func:`make_scan_cached_tail` reproduces
-    :func:`make_scan_predict_tail` bit-exactly.
+    :func:`make_scan_cached_tail` (replace=True) reproduces
+    :func:`make_scan_predict_tail` bit-exactly, and composing it with
+    :func:`make_scan_ancestral_tail` matches the unrolled vmapped
+    ``_sample_chain`` for every impute/replace combination.
     """
-    if not plan.replace:
-        raise ValueError(
-            "make_scan_posterior_factors requires replace=True chains."
-        )
     m, W, n = plan.m, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
@@ -823,6 +892,139 @@ def make_scan_cached_tail(plan, latent):
 
         _, (ys_stack, mean_stack) = lax.scan(step, (xt_aug, keys), xs)
         return jnp.transpose(ys_stack, (1, 2, 0)), mean_stack.T
+
+    return tail
+
+
+def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
+    """Per-sample ancestral chains from cached posterior factors — the
+    scan-fused serving tail for ``replace=False`` (the reference's DEFAULT
+    predictive configuration: EEG/exchange/jura all serve with it).
+
+    With ``replace=False`` the *sampled* output feeds the next layer's
+    inputs (``gpar/model.py:266,275``), so each Monte-Carlo sample carries
+    its own augmented test buffer and its own per-layer posterior
+    covariance — per-sample factorisations are inherent (PERF.md finding
+    9).  What is NOT per-sample is (a) the training-side conditioning
+    chain (estimates are posterior means — :func:`make_scan_posterior_
+    factors` covers every impute/replace combination) and (b) the compiled
+    program: one ``lax.scan`` over layers whose body ``vmap``s the sample
+    axis, so cold XLA compilation is O(1) in p — the round-1 unrolled
+    path's O(p) conditioning + O(p) sampling chain collapses to one body.
+
+    Per-sample math and key stream replicate ``GPAR._sample_chain``
+    exactly (three-way key split per layer; observed draws add the floored
+    per-point noise to the covariance before the PSD factor, matching
+    ``FDD.sample`` on ``f(x, noise/w)``; latent draws return the noiseless
+    sample but feed the noisy one forward with UNfloored noise —
+    ``_sample_chain`` takes ``sqrt(noise/w)`` directly), so samples
+    bit-match the unrolled vmapped chain per key.
+
+    ``sample_chunk`` bounds peak memory: the sample axis is processed in
+    ``lax.map`` chunks of that size (each chunk an inner vmap), trading
+    latency for a peak of O(chunk * n_test^2) per layer instead of
+    O(S * n_test^2).  ``None`` vmaps the full batch — the same memory
+    profile as the unrolled path it replaces.
+
+    Returns ``tail(z_all, factors, x_test, w_test_T, keys) -> batch`` with
+    ``batch`` (S, n_test, p) model-space samples (matching
+    ``GPAR.sample_batch``).  Works for replace=True chains too (feeding
+    the mean forward), but :func:`make_scan_cached_tail` computes that
+    case with shared factors — prefer it there.
+    """
+    m, W = plan.m, plan.W
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def tail(z_all, factors, x_test, w_test_T, keys):
+        dtype = x_test.dtype
+        n_test = x_test.shape[0]
+        S = keys.shape[0]
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        xt0 = jnp.concatenate(
+            [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
+        )
+        xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
+        xs["fac"] = factors
+
+        def step(carry, lin):
+            xt_b, keys = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+            fac = lin["fac"]
+
+            def one(xt_s, key):
+                ks = jax.random.split(key, 3)
+                key_next, k1, k2 = ks[0], ks[1], ks[2]
+                if sparse:
+                    Kmt = gram(kernel, fac["zi_aug"], xt_s)
+                    mean_t = Kmt.T @ fac["beta"]
+                    T1 = solve_lower(fac["Lm"], Kmt)
+                    T2 = solve_lower(fac["LB"], T1)
+                    cov_t = (
+                        gram(kernel, xt_s, xt_s) - T1.T @ T1 + T2.T @ T2
+                    )
+                else:
+                    Kxt = (
+                        gram(kernel, fac["x_aug"], xt_s)
+                        * lin["obs_mask"][:, None]
+                    )
+                    mean_t = Kxt.T @ fac["alpha"]
+                    V = solve_lower(fac["L"], Kxt)
+                    cov_t = gram(kernel, xt_s, xt_s) - V.T @ V
+
+                if latent:
+                    F = psd_sample_factor(cov_t)
+                    z1 = jax.random.normal(k1, (n_test,), dtype)
+                    f_s = mean_t + F @ z1
+                    z2 = jax.random.normal(k2, (n_test,), dtype)
+                    y_s = f_s + jnp.sqrt(noise / lin["w_t"]) * z2
+                    ret = f_s
+                else:
+                    F = psd_sample_factor(
+                        cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
+                    )
+                    z1 = jax.random.normal(k1, (n_test,), dtype)
+                    y_s = mean_t + F @ z1
+                    ret = y_s
+
+                y_next = mean_t if plan.replace else y_s
+                col = m + lin["col"]
+                xt_s = lax.dynamic_update_slice(
+                    xt_s,
+                    y_next[:, None],
+                    (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+                )
+                return xt_s, key_next, ret
+
+            if sample_chunk is None or sample_chunk >= S:
+                xt_b, keys, rets = jax.vmap(one)(xt_b, keys)
+            else:
+                pad = (-S) % sample_chunk
+                xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
+                keys_p = (
+                    jnp.concatenate([keys, keys[:pad]]) if pad else keys
+                )
+                nch = (S + pad) // sample_chunk
+
+                def chunk(args):
+                    return jax.vmap(one)(*args)
+
+                xt_p, keys_p, rets_p = lax.map(
+                    chunk,
+                    (
+                        xt_p.reshape(nch, sample_chunk, n_test, W),
+                        keys_p.reshape(nch, sample_chunk, 2),
+                    ),
+                )
+                xt_b = xt_p.reshape(-1, n_test, W)[:S]
+                keys = keys_p.reshape(-1, 2)[:S]
+                rets = rets_p.reshape(-1, n_test)[:S]
+            return (xt_b, keys), rets
+
+        _, ys_stack = lax.scan(step, (xt_b, keys), xs)  # (p, S, n_test)
+        return jnp.transpose(ys_stack, (1, 2, 0))
 
     return tail
 

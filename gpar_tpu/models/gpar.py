@@ -5,6 +5,12 @@ closed-downwards data routing (``per_output``), conditioning (``|``), logpdf
 accumulation with resumable inputs, ancestral sampling, and the
 impute/replace input-updating rules.
 
+Derived from wesselb/gpar (MIT License, Copyright (c) Wessel Bruinsma) —
+see ``LICENSE``.  This module pins the reference's *behavioural contract*
+(loop semantics, update rules, public signatures); the implementation is
+restructured for JAX (host-side static mask planning, functional PRNG,
+jitted vmapped sampling).
+
 TPU-native design notes:
 
 - **Static masks.** The reference filters rows with NaN boolean masks at
@@ -121,25 +127,21 @@ def construct_model(f, noise):
 
 
 def last(xs, select=None):
-    """Zip an iterable with an is-last flag; ``select`` restricts to a
-    subset of indices (``gpar/model.py:60-93``)."""
-    if select is not None:
-        select = set(select)
+    """Pair each element of ``xs`` with an is-last flag, optionally
+    restricted to the positions listed in ``select``.
 
-    saved_x = None
-    i = -1
-
-    def should_yield(i_):
-        return i >= 0 and (select is None or i_ in select)
-
-    for x in xs:
-        if should_yield(i):
-            yield False, saved_x
-        saved_x = x
-        i += 1
-
-    if saved_x is not None and should_yield(i):
-        yield True, saved_x
+    Contract (matches ``gpar/model.py:60-93``): elements are yielded in
+    order; only positions in ``select`` are yielded when it is given; the
+    flag is True only for the final element of ``xs``, and then only if
+    that element is among the yielded ones.
+    """
+    items = list(xs)
+    n = len(items)
+    positions = (
+        range(n) if select is None else sorted(set(select) & set(range(n)))
+    )
+    for i in positions:
+        yield i == n - 1, items[i]
 
 
 def per_output(y, w, keep=False):

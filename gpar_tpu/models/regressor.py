@@ -5,6 +5,12 @@ constructor signature and ``fit / condition / predict / sample / logpdf /
 get_variables`` API (``gpar/regression.py:200-597``), on top of the JAX GP
 core, the named variable store, and jitted L-BFGS.
 
+Derived from wesselb/gpar (MIT License, Copyright (c) Wessel Bruinsma) —
+see ``LICENSE``.  The variable-naming scheme, kernel composition order, and
+constructor defaults are the pinned parity contract and match the reference
+symbol-for-symbol; everything around them (fused scan fits, posterior-factor
+caching, mesh sharding, device-resident serving) is new TPU-native design.
+
 Differences from the reference are TPU-idiomatic, not semantic:
 
 - Monte-Carlo prediction draws all samples with one jitted ``vmap``
@@ -45,21 +51,30 @@ def _vector_from_init(init, length):
     if np.size(init) == 1:
         return init * np.ones(length)
 
-    init_squeezed = np.squeeze(init)
-    if np.ndim(init_squeezed) != 1:
+    flat = np.squeeze(init)
+    if np.ndim(flat) != 1:
         raise ValueError(
-            "Incorrect shape {} of hyperparameters.".format(np.shape(init))
+            f"Hyperparameter initialiser has shape {np.shape(init)}; "
+            "expected a scalar or a flat vector."
         )
-    if np.size(init_squeezed) < length:
-        raise ValueError("Not enough hyperparameters specified.")
+    if np.size(flat) < length:
+        raise ValueError(
+            f"Hyperparameter initialiser supplies {np.size(flat)} values "
+            f"but this layer needs {length}."
+        )
 
-    return np.array(init_squeezed)[:length]
+    return np.array(flat)[:length]
 
 
 def _determine_indices(m, pi, markov):
     """Input / previous-output column indices honouring the Markov order
-    (``gpar/regression.py:49-59``)."""
-    p_last = pi - 1  # Index of last output that is given as input.
+    (``gpar/regression.py:49-59``).
+
+    Layer ``pi``'s kernel sees the ``m`` raw input columns plus the
+    previously-modelled outputs appended after them; a Markov order of
+    ``k`` keeps only the ``k`` most recent of those outputs.
+    """
+    p_last = pi - 1
     p_start = 0 if markov is None else max(p_last - (markov - 1), 0)
     p_num = p_last - p_start + 1
 
@@ -93,8 +108,8 @@ def _uprank(x):
 
 def _model_generator(
     vs,
-    m,  # The _number_ of inputs.
-    pi,  # The _index_ of the output modelled.
+    m,  # input dimensionality
+    pi,  # which output this layer models
     scale,
     scale_tie,
     per,
@@ -115,12 +130,14 @@ def _model_generator(
     naming scheme mirror ``gpar/regression.py:72-182`` verbatim."""
 
     def model():
-        kernel_inputs = ZeroKernel()  # Kernel over inputs.
-        kernel_outputs = ZeroKernel()  # Kernel over outputs.
+        # Two kernel sums, one over each column group (raw inputs vs.
+        # previously-modelled outputs), composed at the end via select().
+        kernel_inputs = ZeroKernel()
+        kernel_outputs = ZeroKernel()
 
         m_inds, p_inds, p_num = _determine_indices(m, pi, markov)
 
-        # Nonlinear kernel over the inputs.
+        # Mandatory stationary term on the raw inputs.
         variance = vs.bnd(name=f"{pi}/input/var", init=1.0)
         scales = vs.bnd(
             name=f"{0 if scale_tie else pi}/input/scales",
@@ -132,7 +149,8 @@ def _model_generator(
             k = EQ()
         kernel_inputs += variance * k.stretch(scales)
 
-        # Locally periodic kernel over the inputs.
+        # Optional locally-periodic term: the periodic embedding doubles
+        # every dimension into a (cos, sin) pair, hence 2*m scales.
         if per:
             variance = vs.bnd(name=f"{pi}/input/per/var", init=1.0)
             scales = vs.bnd(
@@ -151,7 +169,7 @@ def _model_generator(
                 variance * EQ().stretch(scales).periodic(periods) * EQ().stretch(decays)
             )
 
-        # Linear kernel over the inputs.
+        # Optional dot-product term on the raw inputs.
         if input_linear:
             scales = vs.bnd(
                 name=f"{pi}/input/lin/scales",
@@ -160,7 +178,7 @@ def _model_generator(
             const = vs.get(name=f"{pi}/input/lin/const", init=1.0)
             kernel_inputs += Linear().stretch(scales) + Const(const)
 
-        # Linear kernel over the outputs.
+        # Dependencies on earlier outputs: a dot-product term ...
         if linear and pi > 0:
             scales = vs.bnd(
                 name=f"{pi}/output/lin/scales",
@@ -168,7 +186,7 @@ def _model_generator(
             )
             kernel_outputs += Linear().stretch(scales)
 
-        # Nonlinear kernel over the outputs.
+        # ... and/or a stationary (EQ/RQ) term.
         if nonlinear and pi > 0:
             variance = vs.bnd(name=f"{pi}/output/nonlin/var", init=1.0)
             scales = vs.bnd(
@@ -188,8 +206,8 @@ def _model_generator(
                 k = EQ()
             kernel_outputs += variance * k.stretch(scales)
 
-        # Observation noise (lower bound allows it to be small,
-        # ``gpar/regression.py:172``).
+        # Observation noise; the 1e-8 lower bound matches the reference
+        # (``gpar/regression.py:172``).
         noise_variance = vs.bnd(
             name=f"{pi}/noise",
             init=_vector_from_init(noise, pi + 1)[pi],
@@ -301,7 +319,7 @@ class GPARRegressor:
         transform_y=(lambda x: x, lambda x: x),
         compat=True,
     ):
-        # Model configuration.
+        # Frozen kernel/noise configuration (constructor kwargs verbatim).
         self.replace = replace
         self.impute = impute
         self.sparse = x_ind is not None
@@ -324,7 +342,7 @@ class GPARRegressor:
             "noise": noise,
         }
 
-        # Model fitting.
+        # Fitting state.
         self.vs = Vars()  # default dtype: float64 (configurable, config.dtype)
         # In-process cache of jitted programs (hyperparameters are traced
         # arguments; conditioning data are constants — keys carry a data
@@ -348,7 +366,7 @@ class GPARRegressor:
         self.m = None  # Number of input features
         self.p = None  # Number of outputs
 
-        # Output normalisation and transformation.
+        # Output transform + normalisation state.
         self.compat = compat
         self.normalise_y = normalise_y
         self._unnormalise_y, self._normalise_y = lambda x: x, lambda x: x
@@ -595,36 +613,184 @@ class GPARRegressor:
         Returns:
             np.ndarray: permutation; layer ``pi`` models output ``ret[pi]``.
         """
+        from ..config import config as _cfg
+
         y_np = np.asarray(self.y)  # transformed + normalised
         w_np = np.asarray(self.w)
         x_np = np.asarray(self.x)
         remaining = list(range(self.p))
         selected = []
+        # Single-device: ONE compiled program per position scores ALL
+        # remaining candidates (padded rows + masks, candidates vmapped) —
+        # compile count O(p) even under heterogeneous missingness, where
+        # the per-candidate scorer's shape-keyed jits are O(p^2).  Under an
+        # active mesh the per-candidate scorer remains: it shards its
+        # Titsias statistics through PseudoObs, which a vmapped body
+        # cannot.
+        batched = _cfg.mesh is None
         for position in range(self.p):
-            best_o, best_score = remaining[0], -np.inf
-            for o in remaining:
-                obs_mask = ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
-                n_obs = int(obs_mask.sum())
-                if n_obs == 0:
-                    continue
-                x_aug = np.concatenate(
-                    [x_np[obs_mask], y_np[obs_mask][:, selected]], axis=1
+            if batched:
+                masks = np.stack(
+                    [
+                        ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
+                        for o in remaining
+                    ]
                 )
-                nll = self._greedy_layer_nll(
+                n_obs = masks.sum(axis=1)
+                # Rows with any selected output missing are masked out of
+                # every candidate's likelihood, so zero-filling the NaNs
+                # only feeds neutralised rows.
+                x_aug = np.concatenate(
+                    [x_np, np.nan_to_num(y_np[:, selected], nan=0.0)], axis=1
+                )
+                nlls = self._greedy_position_nlls(
                     position,
                     x_aug,
-                    y_np[obs_mask, o],
-                    w_np[obs_mask, o],
+                    np.nan_to_num(y_np[:, remaining].T, nan=0.0),
+                    w_np[:, remaining].T,
+                    masks,
                     iters,
                     gtol,
                     memory_size,
                 )
-                score = -nll / n_obs
-                if score > best_score:
-                    best_o, best_score = o, score
+                # Per-observation scores keep candidates with different
+                # missingness comparable; empty candidates score -inf
+                # (ties/all-empty resolve to the first remaining index,
+                # matching the sequential scorer's iteration order).
+                with np.errstate(invalid="ignore"):
+                    scores = np.where(
+                        n_obs > 0, -nlls / np.maximum(n_obs, 1), -np.inf
+                    )
+                best_o = remaining[int(np.argmax(scores))]
+            else:
+                best_o, best_score = remaining[0], -np.inf
+                for o in remaining:
+                    obs_mask = ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
+                    n_obs = int(obs_mask.sum())
+                    if n_obs == 0:
+                        continue
+                    x_aug = np.concatenate(
+                        [x_np[obs_mask], y_np[obs_mask][:, selected]], axis=1
+                    )
+                    nll = self._greedy_layer_nll(
+                        position,
+                        x_aug,
+                        y_np[obs_mask, o],
+                        w_np[obs_mask, o],
+                        iters,
+                        gtol,
+                        memory_size,
+                    )
+                    score = -nll / n_obs
+                    if score > best_score:
+                        best_o, best_score = o, score
             selected.append(best_o)
             remaining.remove(best_o)
         return np.asarray(selected)
+
+    def _greedy_position_nlls(
+        self, position, x_aug, ys, ws, masks, iters, gtol, memory_size
+    ):
+        """Optimised single-layer NLLs for ALL candidates at one greedy
+        position, in ONE compiled program (candidates vmapped over padded
+        rows + 0/1 masks — the neutralisation of ``models/fused.py``).
+
+        Every candidate optimises from the identical fresh initialisation
+        (a throwaway store, as the per-candidate scorer uses), so scores
+        stay comparable; the jitted program is keyed on (position,
+        n_candidates) only — data rides in as traced arguments.
+        """
+        vs = Vars()
+        _model_generator(vs, self.m, position, **self.model_config)()
+        names = vs.select(None)
+        z0 = vs.latent_vector(names)
+        dtype = self.x.dtype
+        C, n = ys.shape
+
+        cache_key = (
+            "greedy_batch",
+            position,
+            C,
+            n,
+            x_aug.shape[1],
+            iters,
+            gtol,
+            memory_size,
+            mesh_descriptor(),
+        )
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            sparse, x_ind = self.sparse, self.x_ind
+            from ..ops.kernels import gram, kdiag
+            from ..ops.linalg import (
+                floor_noise,
+                resolve_epsilon,
+                titsias_factors,
+            )
+            from .fused import _masked_dense_factors
+
+            def program(z0, x_aug, ys, ws, masks):
+                eps = resolve_epsilon(x_aug.dtype)
+                if sparse:
+                    # Inducing inputs augmented with the prior-mean (zero)
+                    # estimate of the selected outputs, as in the
+                    # per-candidate scorer (``gpar/model.py:291-305``).
+                    z_aug = jnp.concatenate(
+                        [
+                            x_ind,
+                            jnp.zeros(
+                                (x_ind.shape[0], position), dtype=x_ind.dtype
+                            ),
+                        ],
+                        axis=1,
+                    )
+
+                def one(y_t, w_t, mask):
+                    def obj(z):
+                        view = vs.with_latent_vector(names, z)
+                        f, noise = _model_generator(
+                            view, self.m, position, **self.model_config
+                        )()
+                        noise_w = floor_noise(noise / w_t)
+                        if sparse:
+                            kern = f.kernel
+                            Kmm = gram(kern, z_aug, z_aug)
+                            Kmn = gram(kern, z_aug, x_aug)
+                            knn = kdiag(kern, x_aug)
+                            elbo, _, _, _ = titsias_factors(
+                                Kmm,
+                                Kmn,
+                                knn,
+                                y_t * mask,
+                                jnp.zeros_like(y_t),
+                                noise_w,
+                                mask=mask,
+                            )
+                            return -elbo
+                        K = gram(f.kernel, x_aug, x_aug)
+                        logpdf, _, _ = _masked_dense_factors(
+                            K, y_t * mask, mask, noise_w, eps
+                        )
+                        return -logpdf
+
+                    _, nll, _, _ = lbfgs_traced(
+                        obj, z0, iters=iters, gtol=gtol, memory_size=memory_size
+                    )
+                    return nll
+
+                return jax.vmap(one)(ys, ws, masks)
+
+            fn = jax.jit(program)
+            self._jit_cache[cache_key] = fn
+        return np.asarray(
+            fn(
+                z0,
+                jnp.asarray(x_aug, dtype=dtype),
+                jnp.asarray(ys, dtype=dtype),
+                jnp.asarray(ws, dtype=dtype),
+                jnp.asarray(masks, dtype=dtype),
+            )
+        )
 
     def _greedy_layer_nll(self, pi, x_aug, y_t, w_t, iters, gtol, memory_size):
         """Optimised single-layer NLL for one greedy candidate.
@@ -826,12 +992,13 @@ class GPARRegressor:
         ``fused="batched"``), or ``False`` (the round-1 unrolled body,
         forced by ``fused="unroll"``).
 
-        Under an active mesh the scan body runs for sparse
-        (inducing-point) fits with enough rows to shard
-        (``models/fused.py``: the whole scan inside one shard_map, ELBO
-        reduced with psums) — dense fits and small-n fits fall back to
-        the unrolled body, which shards its per-layer statistics through
-        the GP core's own mesh dispatch.
+        Under an active mesh the scan body runs for fits with enough rows
+        to shard (``models/fused.py``: the whole scan inside one
+        shard_map — sparse layers psum-reduce the Titsias ELBO, dense
+        layers factorise through the distributed blocked Cholesky of
+        ``parallel/dense.py``); small-n fits fall back to the unrolled
+        body, which shards its per-layer statistics through the GP core's
+        own mesh dispatch.
         """
         if fused == "unroll":
             return False
@@ -846,7 +1013,7 @@ class GPARRegressor:
             return "batched"
         if _cfg.mesh is None:
             return "scan"
-        if bool(self.sparse) and self.n >= max(
+        if self.n is not None and self.n >= max(
             _cfg.shard_min_rows, _cfg.mesh.devices.size
         ):
             return "scan"
@@ -1193,11 +1360,29 @@ class GPARRegressor:
             )
         scan = self._use_scan_body(fused)
 
+        from ..config import config as _pre_cfg
+
         if key is None:
             key = next_key()
         fit_key, sample_key = jax.random.split(key)
         layer_keys = self._fit_layer_keys(fit_key, restarts)
-        keys = jax.random.split(sample_key, num_samples)
+        n_keys = num_samples
+        if _pre_cfg.mesh is not None:
+            # Pad the key batch to a mesh multiple and shard it: each chip
+            # draws its share of the Monte-Carlo samples; the surplus is
+            # sliced off before the on-device reduction.
+            size = _pre_cfg.mesh.devices.size
+            n_keys = num_samples + (-num_samples) % size
+        keys = jax.random.split(sample_key, n_keys)
+        if _pre_cfg.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            keys = jax.device_put(
+                keys,
+                NamedSharding(
+                    _pre_cfg.mesh, PartitionSpec(_pre_cfg.shard_axis)
+                ),
+            )
         if w_test is None:
             w_test = jnp.ones((x_test.shape[0], self.p), dtype=x_test.dtype)
         else:
@@ -1205,29 +1390,78 @@ class GPARRegressor:
 
         from ..config import config as _cfg
 
-        # Scan-fused serving: with replace=True the chained inputs are
-        # sample-independent (posterior means feed forward), so conditioning
-        # + the whole MC predictive collapse into one lax.scan over layers
-        # whose body compiles once — cold-compile O(1) in p instead of the
-        # unrolled path's p-fold conditioning + vmapped sampling chain.
-        # Mesh-excluded: the predict tail is single-device (the fit body
-        # itself shards under a mesh via _build_fit_body).
-        scan_tail = (
-            scan and self.replace and _cfg.scan_predict and _cfg.mesh is None
-        )
+        # Scan-fused serving: conditioning + the whole MC predictive
+        # collapse into one lax.scan over layers whose body compiles once —
+        # cold-compile O(1) in p instead of the unrolled path's p-fold
+        # conditioning + vmapped sampling chain.  replace=True shares the
+        # per-layer factors across samples (posterior means feed forward);
+        # replace=False (the reference default) vmaps per-sample chains
+        # inside the scan body (make_scan_ancestral_tail).  Under an
+        # active mesh the fit body runs inside one shard_map
+        # (_build_fit_body) and the serving tail runs GSPMD-partitioned:
+        # per-layer factors replicate, the sharded key batch keeps the
+        # sample axis distributed.
+        scan_tail = scan and _cfg.scan_predict
 
         cache_factors = False
-        if scan_tail:
+        if scan_tail and not self.replace:
+            # Per-sample ancestral serving from the factor stack; falls
+            # back to the unrolled chain when a dense stack is too large
+            # to materialise.
             from .fused import (
                 build_scan_fit_plan,
-                make_scan_fit_body,
+                make_scan_ancestral_tail,
+                make_scan_posterior_factors,
+            )
+
+            plan = build_scan_fit_plan(self, all_names)
+            if not self._factor_stack_fits(plan):
+                scan_tail = False
+            else:
+                fit_body = self._build_fit_body(
+                    y_cached, all_names, iters, gtol, memory_size,
+                    restarts, restart_scale, scan,
+                )
+                factors_fn = make_scan_posterior_factors(plan, self.x_ind)
+                anc_tail = make_scan_ancestral_tail(
+                    plan, latent, sample_chunk=_cfg.predict_sample_chunk
+                )
+                cache_factors = self._factor_cache_eligible(plan)
+
+                def program(
+                    z0, x_arr, x_test, w_test, keys, layer_keys,
+                    _cache=cache_factors,
+                ):
+                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                        z0, x_arr, layer_keys
+                    )
+                    factors = factors_fn(z_final, x_arr)
+                    batch = anc_tail(
+                        z_final, factors, x_test, w_test.T, keys
+                    )
+                    batch = batch[:num_samples]  # drop mesh-padding surplus
+                    batch = self._untransform_y(self._unnormalise_y(batch))
+                    mean = jnp.mean(batch, axis=0)
+                    lowers = jnp.percentile(batch, 2.5, axis=0)
+                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
+                    return (
+                        z_final, layer_nll, layer_iters, layer_nll0,
+                        mean, lowers, uppers,
+                        factors if _cache else None,
+                    )
+
+        if scan_tail and self.replace:
+            from .fused import (
+                build_scan_fit_plan,
                 make_scan_predict_tail,
             )
 
             plan = build_scan_fit_plan(self, all_names)
-            fit_body = make_scan_fit_body(
-                plan, self.x_ind, iters, gtol, memory_size, restarts,
-                restart_scale,
+            # _build_fit_body threads the active mesh into the scan body
+            # (shard_map'd fit; the serving tail below stays GSPMD).
+            fit_body = self._build_fit_body(
+                y_cached, all_names, iters, gtol, memory_size, restarts,
+                restart_scale, scan,
             )
             # When the posterior-factor cache is eligible, run the split
             # serving tail and RETURN the factors so follow-up predict/
@@ -1253,6 +1487,7 @@ class GPARRegressor:
                     batch, _ = tail_cached(
                         z_final, factors, x_test, w_test.T, keys
                     )
+                    batch = batch[:num_samples]  # drop mesh-padding surplus
                     batch = self._untransform_y(self._unnormalise_y(batch))
                     mean = jnp.mean(batch, axis=0)
                     lowers = jnp.percentile(batch, 2.5, axis=0)
@@ -1270,6 +1505,7 @@ class GPARRegressor:
                         z0, x_arr, layer_keys
                     )
                     batch, _ = tail(z_final, x_arr, x_test, w_test.T, keys)
+                    batch = batch[:num_samples]  # drop mesh-padding surplus
                     batch = self._untransform_y(self._unnormalise_y(batch))
                     mean = jnp.mean(batch, axis=0)
                     lowers = jnp.percentile(batch, 2.5, axis=0)
@@ -1279,7 +1515,7 @@ class GPARRegressor:
                         mean, lowers, uppers, None,
                     )
 
-        else:
+        if not scan_tail:
             fit_body = self._build_fit_body(
                 y_cached, all_names, iters, gtol, memory_size, restarts,
                 restart_scale, scan,
@@ -1313,6 +1549,7 @@ class GPARRegressor:
                     )
 
                 batch = jax.vmap(one)(keys)
+                batch = batch[:num_samples]  # drop mesh-padding surplus
                 batch = self._untransform_y(self._unnormalise_y(batch))
                 mean = jnp.mean(batch, axis=0)
                 lowers = jnp.percentile(batch, 2.5, axis=0)
@@ -1424,8 +1661,8 @@ class GPARRegressor:
 
         if posterior and not self.is_conditioned:
             raise RuntimeError(
-                "Must condition or fit model before computing "
-                "the logpdf under the posterior."
+                "Cannot evaluate the posterior logpdf: no data has been "
+                "conditioned on yet (call fit() or condition() first)."
             )
 
         # One jitted program per (data fingerprint, flags): the NaN mask
@@ -1511,16 +1748,18 @@ class GPARRegressor:
             )
 
     def _sample_inner(
-        self, x, w, p, posterior, num_samples, latent, key, active_mesh
+        self, x, w, p, posterior, num_samples, latent, key, active_mesh,
+        reduce=None,
     ):
         x = _uprank(_to_jnp(x))
 
         if posterior and not self.is_conditioned:
             raise RuntimeError(
-                "Must condition or fit model before sampling from the posterior."
+                "Cannot sample from the posterior: no data has been "
+                "conditioned on yet (call fit() or condition() first)."
             )
         elif not posterior and p is None:
-            raise ValueError("Must specify number of outputs to sample.")
+            raise ValueError("Prior sampling needs `p`, the number of outputs to draw.")
 
         if w is None:
             w = jnp.ones(
@@ -1611,13 +1850,13 @@ class GPARRegressor:
         # GSPMD) and the draws/outputs propagate the sample-axis sharding.
         from ..config import config as _cfg
 
-        scan_tail = posterior and self.replace and _cfg.scan_predict
+        scan_tail = posterior and _cfg.scan_predict
         factors = None
         if scan_tail:
             from .fused import build_scan_fit_plan
 
             plan = build_scan_fit_plan(self, names)
-            if self._factor_cache_eligible(plan):
+            if self.replace and self._factor_cache_eligible(plan):
                 # Repeated-serving fast path: reuse the per-layer posterior
                 # factors across predict/sample calls (the reference
                 # re-conditions on every call, ``gpar/regression.py:547``).
@@ -1630,7 +1869,7 @@ class GPARRegressor:
                     batch, _ = tail(z, factors, x_test, w_test.T, keys)
                     return batch
 
-            else:
+            elif self.replace:
                 from .fused import make_scan_predict_tail
 
                 tail = make_scan_predict_tail(plan, self.x_ind, latent)
@@ -1639,10 +1878,67 @@ class GPARRegressor:
                     batch, _ = tail(z, x_data, x_test, w_test.T, keys)
                     return batch
 
+            elif self._factor_stack_fits(plan):
+                # replace=False (the reference-default predictive config):
+                # per-sample ancestral chains through ONE lax.scan whose
+                # body vmaps the sample axis — cold compile O(1) in p,
+                # posterior factors cached across calls when eligible.
+                from .fused import make_scan_ancestral_tail
+
+                tail = make_scan_ancestral_tail(
+                    plan, latent, sample_chunk=_cfg.predict_sample_chunk
+                )
+                if self._factor_cache_eligible(plan):
+                    factors = self._posterior_factors(plan, names, z)
+
+                    def program(z, factors, x_test, w_test, keys):
+                        return tail(z, factors, x_test, w_test.T, keys)
+
+                else:
+                    # Cache disabled: compute the factors inside the same
+                    # program (the reference re-conditions per call).
+                    from .fused import make_scan_posterior_factors
+
+                    factors_fn = make_scan_posterior_factors(
+                        plan, self.x_ind
+                    )
+
+                    def program(z, x_data, x_test, w_test, keys):
+                        return tail(
+                            z, factors_fn(z, x_data), x_test, w_test.T, keys
+                        )
+
+            else:
+                # A dense factor stack too large to materialise: keep the
+                # unrolled per-sample chain (same peak memory, O(p)
+                # compile).
+                scan_tail = False
+
+        def finalize(batch):
+            # On-device reduction (predict): undo transforms, drop the
+            # mesh-padding surplus, then reduce over the sample axis — the
+            # host transfer becomes O(n p) instead of O(S n p)
+            # (``gpar/regression.py:589-595`` reduces host-side).
+            if reduce is None:
+                return batch
+            batch = undo_transforms(batch)[:num_samples]
+            mean = jnp.mean(batch, axis=0)
+            if reduce == "bounds":
+                return (
+                    mean,
+                    jnp.percentile(batch, 2.5, axis=0),
+                    jnp.percentile(batch, 100 - 2.5, axis=0),
+                )
+            return (mean,)
+
+        def full_program(*args):
+            return finalize(program(*args))
+
         cache_key = (
             "sample",
             scan_tail,
             factors is not None,
+            reduce,
             x.shape,
             num_samples,
             latent,
@@ -1653,13 +1949,19 @@ class GPARRegressor:
         )
         sample_fn = self._jit_cache.get(cache_key)
         if sample_fn is None:
-            sample_fn = jax.jit(program)
+            sample_fn = jax.jit(full_program)
             self._jit_cache[cache_key] = sample_fn
         if factors is not None:
-            batch = sample_fn(z, factors, x, w, keys)
+            out = sample_fn(z, factors, x, w, keys)
         else:
-            batch = sample_fn(z, x_data, x, w, keys)
-        batch = np.asarray(undo_transforms(batch))[:num_samples]
+            out = sample_fn(z, x_data, x, w, keys)
+        if reduce is not None:
+            out = tuple(
+                self._unpermute_outputs(np.asarray(a), strict=posterior)
+                for a in out
+            )
+            return out[0] if reduce == "mean" else out
+        batch = np.asarray(undo_transforms(out))[:num_samples]
         # Greedy-ordered layers -> original output columns (prior samples
         # of a different chain length stay in layer order).
         batch = self._unpermute_outputs(batch, strict=posterior)
@@ -1678,8 +1980,15 @@ class GPARRegressor:
         """
         from ..config import config as _cfg
 
-        if not _cfg.posterior_cache:
-            return False
+        return _cfg.posterior_cache and self._factor_stack_fits(plan)
+
+    def _factor_stack_fits(self, plan):
+        """Whether the per-layer posterior-factor stack is small enough to
+        materialise at all (cache or in-program): sparse factors are
+        O(p·M²); dense stacks hold p (n, n) Cholesky factors and are
+        bounded by ``config.posterior_cache_max_bytes``."""
+        from ..config import config as _cfg
+
         if plan.sparse:
             return True
         itemsize = np.dtype(np.asarray(self.x).dtype).itemsize
@@ -1723,9 +2032,10 @@ class GPARRegressor:
 
         Beyond the reference (which re-conditions inside every ``sample``
         call, ``gpar/regression.py:547``); a no-op when the scan serving
-        tail does not apply (``replace=False``, ``config.scan_predict``
-        off, or a dense factor stack over
-        ``config.posterior_cache_max_bytes``).  Factors are invalidated
+        tail does not apply (``config.scan_predict`` off, or a dense
+        factor stack over ``config.posterior_cache_max_bytes``).  Both
+        ``replace`` modes consume the cache (``make_scan_cached_tail`` /
+        ``make_scan_ancestral_tail``).  Factors are invalidated
         automatically by ``fit``/``condition`` (the cache keys on the
         latent vector and the data fingerprint).  Returns True when
         factors were computed (or already cached), False when ineligible.
@@ -1734,9 +2044,10 @@ class GPARRegressor:
 
         if not self.is_conditioned:
             raise RuntimeError(
-                "Must condition or fit model before precomputing factors."
+                "Cannot precompute posterior factors: no data has been "
+                "conditioned on yet (call fit() or condition() first)."
             )
-        if not (self.replace and _cfg.scan_predict):
+        if not _cfg.scan_predict:
             return False
         self._ensure_vars(self.p)
         names = self.vs.select(None)
@@ -1759,25 +2070,30 @@ class GPARRegressor:
         mesh=None,
     ):
         """Monte-Carlo predictive means (and 95% central credible bounds)
-        at new inputs (``gpar/regression.py:566-597``)."""
-        samples = self.sample(
-            x,
-            w,
-            num_samples=num_samples,
-            latent=latent,
-            posterior=True,
-            key=key,
-            mesh=mesh,
-        )
-        if num_samples == 1:
-            samples = [samples]
-        samples = np.stack(samples, axis=0)
+        at new inputs (``gpar/regression.py:566-597``).
 
-        mean = np.mean(samples, axis=0)
+        The sample batch never leaves the device: the Monte-Carlo mean and
+        percentiles are computed inside the same compiled program as the
+        sampling (the reference reduces host-side over a Python list,
+        ``gpar/regression.py:589-595``), so the host transfer is O(n·p)
+        rather than O(num_samples·n·p) — on a remote-attached chip the
+        transfer dominates large-n prediction.  Values match a host-side
+        reduction of :meth:`sample` with the same key to float rounding.
+        """
+        import contextlib
 
-        if credible_bounds:
-            lowers = np.percentile(samples, 2.5, axis=0)
-            uppers = np.percentile(samples, 100 - 2.5, axis=0)
-            return mean, lowers, uppers
-        else:
-            return mean
+        from ..config import config as _cfg
+
+        mesh_ctx = use_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+        with mesh_ctx:
+            return self._sample_inner(
+                x,
+                w,
+                None,
+                True,
+                num_samples,
+                latent,
+                key,
+                _cfg.mesh,
+                reduce="bounds" if credible_bounds else "mean",
+            )

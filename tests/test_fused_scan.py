@@ -381,10 +381,18 @@ def test_precompute_ineligible_paths():
     from gpar_tpu import config
 
     x, y = _data()
-    # replace=False: the scan serving tail does not apply.
+    # replace=False: the ancestral tail consumes cached factors too.
     reg = GPARRegressor(noise=0.1, replace=False, normalise_y=True)
     reg.fit(x, y, iters=0, key=jax.random.PRNGKey(0))
-    assert reg.precompute() is False
+    assert reg.precompute() is True
+    assert reg._factor_cache is not None
+    # config.scan_predict off: nothing to precompute for.
+    try:
+        config.scan_predict = False
+        reg._factor_cache = None
+        assert reg.precompute() is False
+    finally:
+        config.scan_predict = True
     # Unconditioned: clear error.
     with pytest.raises(RuntimeError, match="condition"):
         GPARRegressor(noise=0.1).precompute()
@@ -505,26 +513,52 @@ def test_scan_fit_sharded_matches_single_device():
         approx(r_mesh.vs[name], r_single.vs[name], rtol=2e-3, atol=2e-3)
 
 
-def test_scan_fit_sharded_dense_falls_back():
-    # Dense fits under a mesh use the unrolled body (the scan mesh mode is
-    # sparse-only); the public fit must still work and match single-device.
+def test_scan_fit_sharded_dense_matches_single_device():
+    # DENSE fits under a mesh run the scan body inside one shard_map with
+    # the per-layer covariance factorised cooperatively (the distributed
+    # blocked Cholesky + custom-VJP backward of parallel/dense.py) —
+    # VERDICT r2 №2.  n=42 on 8 devices exercises the panel-geometry
+    # padding; missing data exercises the per-layer masks composed with
+    # the pad masks.
     import gpar_tpu
     from gpar_tpu.parallel import make_mesh
 
-    x, y = _data(n=40)
+    x, y = _data(n=42, missing=True)
+    kw = dict(noise=0.1, impute=True, normalise_y=True)
     key = jax.random.PRNGKey(1)
-    r_single = GPARRegressor(noise=0.1, normalise_y=True)
+    r_single = GPARRegressor(**kw)
     r_single.fit(x, y, iters=0, fused=True, key=key)
     mesh = make_mesh(8, devices=jax.devices("cpu"))
     with gpar_tpu.use_mesh(mesh, min_rows=8):
-        r_mesh = GPARRegressor(noise=0.1, normalise_y=True)
-        assert not r_mesh._use_scan_body(True)  # dense -> unrolled
+        r_mesh = GPARRegressor(**kw)
+        assert r_mesh.condition(x, y) is None  # populate n for the gate
+        assert r_mesh._use_scan_body(True) == "scan"  # dense scans too now
         r_mesh.fit(x, y, iters=0, fused=True, key=key)
+    # Strict oracle at iters=0: identical math, different reduction order.
     approx(
         r_mesh.last_fit_report["layer_nll"],
         r_single.last_fit_report["layer_nll"],
         atol=1e-7,
     )
+
+    # With optimisation: gradients flow through the distributed custom
+    # VJP; learned hyperparameters must agree with the single-device scan.
+    r_single.fit(x, y, iters=8, fused=True, key=key)
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r_mesh.fit(x, y, iters=8, fused=True, key=key)
+    approx(
+        r_mesh.last_fit_report["layer_nll"],
+        r_single.last_fit_report["layer_nll"],
+        rtol=1e-4, atol=1e-4,
+    )
+    for name in r_single.vs.names:
+        approx(r_mesh.vs[name], r_single.vs[name], rtol=2e-3, atol=2e-3)
+
+    # Small-n fits still fall back to the unrolled body under a mesh.
+    with gpar_tpu.use_mesh(mesh, min_rows=1024):
+        r_small = GPARRegressor(**kw)
+        r_small.condition(x, y)
+        assert not r_small._use_scan_body(True)
 
 
 def test_batched_fit_matches_scan():
@@ -617,3 +651,158 @@ def test_scan_predict_tail_under_mesh_matches_single_device():
         s_mesh = reg.sample(x_test, posterior=True, num_samples=5, key=key)
     for a, b in zip(s_single, s_mesh):
         approx(a, b, atol=1e-9)
+
+
+@pytest.mark.parametrize("latent", [False, True])
+@pytest.mark.parametrize("sparse", [False, True])
+def test_ancestral_tail_matches_unrolled(sparse, latent):
+    # replace=False — the reference's DEFAULT predictive configuration
+    # (EEG/exchange/jura all serve with it): the per-sample scan tail
+    # (models/fused.py, make_scan_ancestral_tail) vs the unrolled vmapped
+    # ancestral chain, same keys.  The tail replicates _sample_chain's
+    # per-sample key stream exactly, so this is a bit-compatibility
+    # oracle, not a statistical one.
+    from gpar_tpu import config
+
+    x, y = _data(missing=True)
+    kw = dict(noise=0.1, impute=True, replace=False, normalise_y=True)
+    if sparse:
+        kw["x_ind"] = np.linspace(0, 6, 9)
+    reg = GPARRegressor(**kw)
+    reg.fit(x, y, iters=4, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(-0.5, 6.5, 23)
+    key = jax.random.PRNGKey(5)
+
+    assert config.scan_predict  # default on
+    s_scan = reg.sample(
+        x_test, posterior=True, num_samples=4, latent=latent, key=key
+    )
+    try:
+        config.scan_predict = False
+        s_unroll = reg.sample(
+            x_test, posterior=True, num_samples=4, latent=latent, key=key
+        )
+    finally:
+        config.scan_predict = True
+    # Tolerances as in test_scan_predict_tail_matches_unrolled: observed
+    # samples bit-match; latent near-singular posterior factors amplify
+    # masked-vs-filtered rounding.
+    tol = 2e-3 if latent else 1e-9
+    for a, b in zip(s_scan, s_unroll):
+        approx(a, b, atol=tol)
+
+
+def test_ancestral_tail_sample_chunk_matches_vmap():
+    # config.predict_sample_chunk bounds peak memory by lax.map-ing the
+    # sample axis in chunks (incl. a non-dividing chunk size); draws must
+    # equal the full-vmap tail per key.
+    from gpar_tpu import config
+
+    x, y = _data()
+    reg = GPARRegressor(
+        noise=0.1, replace=False, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    reg.fit(x, y, iters=3, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(0, 6, 13)
+    key = jax.random.PRNGKey(11)
+    s_full = reg.sample(x_test, posterior=True, num_samples=5, key=key)
+    try:
+        config.predict_sample_chunk = 2  # 5 samples -> 3 chunks, 1 padded
+        s_chunk = reg.sample(x_test, posterior=True, num_samples=5, key=key)
+    finally:
+        config.predict_sample_chunk = None
+    for a, b in zip(s_full, s_chunk):
+        approx(a, b, atol=1e-12)
+
+
+@pytest.mark.parametrize("replace", [False, True])
+def test_predict_device_reduction_matches_host(replace):
+    # predict() reduces the Monte-Carlo batch on device (VERDICT r2 №6);
+    # the mean/percentiles must match a host-side numpy reduction of
+    # sample() with the same key to float rounding.
+    x, y = _data(missing=True)
+    reg = GPARRegressor(
+        noise=0.1, impute=True, replace=replace, normalise_y=True
+    )
+    reg.fit(x, y, iters=3, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(0, 6, 17)
+    key = jax.random.PRNGKey(9)
+
+    mean, lo, hi = reg.predict(
+        x_test, num_samples=8, credible_bounds=True, key=key
+    )
+    samples = reg.sample(x_test, posterior=True, num_samples=8, key=key)
+    batch = np.stack(samples, axis=0)
+    approx(mean, np.mean(batch, axis=0), atol=1e-10)
+    approx(lo, np.percentile(batch, 2.5, axis=0), atol=1e-10)
+    approx(hi, np.percentile(batch, 100 - 2.5, axis=0), atol=1e-10)
+    # mean-only variant reduces on device too
+    mean2 = reg.predict(x_test, num_samples=8, key=key)
+    approx(mean2, mean, atol=0)
+
+
+def test_fit_predict_replace_false_matches_two_call():
+    # fit_predict's fused replace=False serving (fit body + factor scan +
+    # ancestral tail in ONE program) == fit() then predict() with the same
+    # key split.
+    x, y = _data(missing=True)
+    kw = dict(
+        noise=0.1, impute=True, replace=False, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    x_test = np.linspace(-0.5, 6.5, 19)
+    key = jax.random.PRNGKey(4)
+    fit_key, sample_key = jax.random.split(key)
+
+    r1 = GPARRegressor(**kw)
+    m1, lo1, hi1 = r1.fit_predict(
+        x, y, x_test=x_test, num_samples=6, credible_bounds=True,
+        key=key, iters=4,
+    )
+    assert r1._factor_cache is not None  # seeded for repeated serving
+
+    r2 = GPARRegressor(**kw)
+    r2.fit(x, y, iters=4, key=fit_key)
+    m2, lo2, hi2 = r2.predict(
+        x_test, num_samples=6, credible_bounds=True, key=sample_key
+    )
+    approx(m1, m2, atol=1e-9)
+    approx(lo1, lo2, atol=1e-9)
+    approx(hi1, hi2, atol=1e-9)
+
+
+@pytest.mark.parametrize("replace", [False, True])
+def test_fit_predict_scan_tail_under_mesh(replace):
+    # fit_predict under an active mesh keeps the scan serving tail
+    # (VERDICT r2 №2): the fit body runs inside one shard_map, the tail
+    # runs GSPMD-partitioned with the key batch sharded over devices
+    # (num_samples=6 on 8 devices exercises pad-and-drop).  At iters=0 the
+    # fitted latents are bit-identical to the single-device run, so the
+    # key-deterministic draws must agree to reduction-order rounding.
+    import gpar_tpu
+    from gpar_tpu.parallel import make_mesh
+
+    x, y = _data(n=42, missing=True)
+    kw = dict(
+        noise=0.1, impute=True, replace=replace, normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    )
+    key = jax.random.PRNGKey(3)
+    x_test = np.linspace(0, 6, 15)
+
+    r1 = GPARRegressor(**kw)
+    m1, lo1, hi1 = r1.fit_predict(
+        x, y, x_test=x_test, iters=0, num_samples=6,
+        credible_bounds=True, key=key,
+    )
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r2 = GPARRegressor(**kw)
+        m2, lo2, hi2 = r2.fit_predict(
+            x, y, x_test=x_test, iters=0, num_samples=6,
+            credible_bounds=True, key=key,
+        )
+    approx(m1, m2, atol=1e-6)
+    approx(lo1, lo2, atol=1e-6)
+    approx(hi1, hi2, atol=1e-6)

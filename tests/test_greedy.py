@@ -181,3 +181,64 @@ def test_greedy_under_mesh():
     assert np.isfinite(nll)
     n_keys2 = len([k for k in reg._jit_cache if k[0] == "greedy_nll"])
     assert n_keys2 == n_keys + 1
+
+
+def test_greedy_batched_scorer_recovers_known_permutation():
+    # Known-permutation chain under HETEROGENEOUS missingness (the case
+    # where the per-candidate scorer's shape-keyed jits explode to O(p^2)
+    # compiles, VERDICT r2 №5): column 2 carries low-noise signal, column
+    # 0 is a near-deterministic function of column 2 (but noisy given x
+    # alone), column 1 is white noise -> greedy order must be [2, 0, 1].
+    rng = np.random.default_rng(5)
+    n = 48
+    x = np.linspace(0.0, 10.0, n)
+    a = np.sin(x) + 0.3 * rng.standard_normal(n)  # noisy signal
+    b = 2.0 * a + 0.05 * rng.standard_normal(n)  # predictable given a
+    c = rng.standard_normal(n)  # white noise
+    y = np.stack([b, c, a], axis=1)
+    # Different missingness per column -> different candidate row counts.
+    y[rng.permutation(n)[:5], 0] = np.nan
+    y[rng.permutation(n)[:9], 1] = np.nan
+    y[rng.permutation(n)[:3], 2] = np.nan
+
+    reg = GPARRegressor(noise=0.1, compat=False)
+    reg.fit(x, y, greedy=True, iters=30)
+    assert reg.order.tolist() == [2, 0, 1]
+    # O(p) compiles: exactly one batched program per position, and the
+    # per-candidate scorer never ran.
+    batch_keys = [k for k in reg._jit_cache if k[0] == "greedy_batch"]
+    assert len(batch_keys) == 3
+    assert not any(k[0] == "greedy_nll" for k in reg._jit_cache)
+
+
+def test_greedy_batched_scores_match_per_candidate():
+    # The vmapped masked-row scorer must reproduce the filtered-row
+    # per-candidate scorer's optimised NLLs (identical inits; masked rows
+    # contribute exact zeros, so trajectories agree to rounding) — dense
+    # and sparse.
+    rng = np.random.default_rng(7)
+    n = 40
+    x = np.linspace(0.0, 6.0, n)
+    y = np.stack(
+        [np.sin(x) + 0.1 * rng.standard_normal(n), rng.standard_normal(n)],
+        axis=1,
+    )
+    y[rng.permutation(n)[:6], 0] = np.nan
+    y[rng.permutation(n)[:4], 1] = np.nan
+
+    for kw in [{}, {"x_ind": np.linspace(0.0, 6.0, 7)}]:
+        reg = GPARRegressor(noise=0.1, compat=False, normalise_y=False, **kw)
+        reg.condition(x, y)
+        y_np, w_np, x_np = (
+            np.asarray(reg.y), np.asarray(reg.w), np.asarray(reg.x),
+        )
+        masks = np.stack([~np.isnan(y_np[:, o]) for o in range(2)])
+        nlls_b = reg._greedy_position_nlls(
+            0, x_np, np.nan_to_num(y_np.T), w_np.T, masks, 25, 1e-9, 10
+        )
+        for o in range(2):
+            m = masks[o].astype(bool)
+            nll_s = reg._greedy_layer_nll(
+                0, x_np[m], y_np[m, o], w_np[m, o], 25, 1e-9, 10
+            )
+            np.testing.assert_allclose(nlls_b[o], nll_s, rtol=1e-4, atol=1e-4)
