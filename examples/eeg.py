@@ -70,4 +70,9 @@ if __name__ == "__main__":
         if np.isfinite(s):
             out.kv(f"SMSE {name}", s)
     out.kv("Average SMSE", np.nanmean(scores))
+    if "--check" in sys.argv:
+        # Golden envelope for the seeded synthetic stand-in (--quick;
+        # measured 0.20 offline).  Real-data parity lives in
+        # tests/test_real_data.py (env-gated).
+        out.check_metric("eeg mean SMSE", np.nanmean(scores), 0.30)
     wd.save({"x": x, "means": means, "lowers": lowers, "uppers": uppers}, "eeg.pickle")

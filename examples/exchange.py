@@ -61,6 +61,9 @@ if __name__ == "__main__":
         if np.isfinite(s):
             out.kv(f"SMSE {name}", s)
     out.kv("Average SMSE", np.nanmean(scores))
+    if "--check" in sys.argv:
+        # Golden envelope for the seeded synthetic stand-in (--quick).
+        out.check_metric("exchange mean SMSE", np.nanmean(scores), 1.0)
     wd.save(
         {"x": x, "means": means, "lowers": lowers, "uppers": uppers},
         "exchange.pickle",

@@ -77,6 +77,17 @@ if __name__ == "__main__":
 
     out.kv("GPAR SMSE vs truth", smse(means, f))
     out.kv("IGP  SMSE vs truth", smse(igp_means, f))
+    if "--check" in sys.argv:
+        # Golden envelopes for the seeded workload (--quick): GPAR must
+        # fit the truth AND beat the independent-GP baseline on the
+        # downstream outputs (the paper's qualitative claim, made a gate).
+        out.check_metric("synthetic GPAR mean SMSE", np.nanmean(smse(means, f)), 1.0)
+        out.check_metric(
+            "synthetic GPAR-beats-IGP margin",
+            float(np.nanmean(smse(igp_means, f)) - np.nanmean(smse(means, f))),
+            0.0,
+            larger_is_worse=False,
+        )
     wd.save(
         {
             "x": x,

@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-__all__ = ["WorkingDirectory", "Counter", "kv", "report_time"]
+__all__ = ["WorkingDirectory", "Counter", "check_metric", "kv", "report_time"]
 
 #: When True, progress/kv output is prefixed with a timestamp
 #: (``wbml.out.report_time``, ``examples/paper/eeg.py:13``).
@@ -32,6 +32,27 @@ def kv(key, value):
     elif isinstance(value, float):
         value = f"{value:.6g}"
     print(f"{_stamp()}{key}: {value}")
+
+
+def check_metric(name, value, bound, larger_is_worse=True):
+    """Golden quality gate for example workloads (the ``--check`` flag).
+
+    The reference's examples print their metrics at runtime without
+    committing expected values (SURVEY.md §6); this makes the seeded
+    synthetic stand-ins regression-proof: CI runs the examples with
+    ``--check`` and a metric outside its committed envelope aborts with a
+    non-zero exit.
+    """
+    value = float(value)
+    ok = value <= bound if larger_is_worse else value >= bound
+    rel = "<=" if larger_is_worse else ">="
+    status = "ok" if ok else "FAIL"
+    print(f"{_stamp()}[check] {name}: {value:.6g} {rel} {bound:.6g} ... {status}")
+    if not ok:
+        raise SystemExit(
+            f"Quality gate failed: {name} = {value:.6g}, expected {rel} "
+            f"{bound:.6g} (committed golden envelope)"
+        )
 
 
 class WorkingDirectory:
