@@ -62,8 +62,9 @@ if __name__ == "__main__":
             out.kv(f"SMSE {name}", s)
     out.kv("Average SMSE", np.nanmean(scores))
     if "--check" in sys.argv:
-        # Golden envelope for the seeded synthetic stand-in (--quick).
-        out.check_metric("exchange mean SMSE", np.nanmean(scores), 1.0)
+        # Golden envelope for the seeded synthetic stand-in (--quick;
+        # measured 0.011 on CPU f64 — ~13x margin for platform drift).
+        out.check_metric("exchange mean SMSE", np.nanmean(scores), 0.15)
     wd.save(
         {"x": x, "means": means, "lowers": lowers, "uppers": uppers},
         "exchange.pickle",

@@ -53,6 +53,7 @@ if __name__ == "__main__":
     scores = mae(means, y_test)
     out.kv("MAE Cd", scores[columns.index("Cd")])
     if "--check" in sys.argv:
-        # Golden envelope for the seeded synthetic stand-in (--quick).
-        out.check_metric("jura Cd MAE", scores[columns.index("Cd")], 1.0)
+        # Golden envelope for the seeded synthetic stand-in (--quick;
+        # measured 0.077 on CPU f64 — ~4x margin for platform drift).
+        out.check_metric("jura Cd MAE", scores[columns.index("Cd")], 0.3)
     wd.save({"x_test": x_test, "means": means}, "jura.pickle")
