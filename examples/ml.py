@@ -112,4 +112,10 @@ if __name__ == "__main__":
 
     out.kv("Remaining", np.sum(~np.isnan(y_train), axis=0))
     out.kv("SMSE", smse(means, y_test))
+    if "--check" in sys.argv:
+        # Golden envelope for the seeded stand-in (--quick; measured mean
+        # 0.845 on CPU f64 — the 30% cascading-dropout curves task is hard
+        # at the quick budget, so the gate pins "clearly beats the mean
+        # predictor" rather than a tight value).
+        out.check_metric("ml mean SMSE", np.nanmean(smse(means, y_test)), 0.95)
     wd.save({"means": means, "y_test": y_test}, "ml.pickle")
