@@ -82,10 +82,12 @@ from ..params.store import _Bounded, _Identity, _LowerBounded
 __all__ = [
     "ScanFitPlan",
     "build_scan_fit_plan",
+    "build_scan_prior_plan",
     "make_batched_fit_body",
     "make_scan_ancestral_tail",
     "make_scan_fit_body",
     "make_scan_predict_tail",
+    "make_scan_prior_tail",
 ]
 
 
@@ -139,40 +141,19 @@ def _field_idx(offsets, name, actual, padded, dummy, shift=0):
     return idx
 
 
-def build_scan_fit_plan(reg, all_names):
-    """Build the per-layer stacked scan inputs from the regressor's data
-    caches and variable store (everything here is concrete NumPy)."""
-    cfg = reg.model_config
-    m, p, n = reg.m, reg.p, reg.n
-    W = m + p  # p - 1 real output columns + one gated scratch column
-    dtype = np.dtype(np.asarray(reg.x).dtype)
-
-    offsets, n_z = _name_offsets(reg.vs, all_names)
+def _kernel_field_xs(vs, all_names, m, p, W, cfg, dtype):
+    """Data-independent per-layer scan inputs: the latent-span gather map
+    and the kernel-field index maps + gates consumed by
+    :func:`_layer_kernel`.  Shared by the fit plan (conditioned data) and
+    the prior-sampling plan (no data)."""
+    offsets, n_z = _name_offsets(vs, all_names)
     dummy = n_z
-
-    y_np = np.asarray(reg.y)
-    w_np = np.asarray(reg.w)
-    avail = ~np.isnan(y_np)
-
-    # Absolute row masks: the cumulative per_output routing
-    # (``gpar/model.py:325-368``) composed onto the original n rows.
-    keep = bool(reg.impute)
-    route = np.ones(n, dtype=bool)
-    route_mask = np.zeros((p, n), dtype=bool)
-    for pi in range(p):
-        if keep and pi < p - 1:
-            layer_keep = avail[:, pi] | avail[:, pi + 1 :].any(axis=1)
-        else:
-            layer_keep = avail[:, pi]
-        route = route & layer_keep
-        route_mask[pi] = route
-    obs_mask = route_mask & avail.T  # (p, n)
 
     # Per-layer latent spans (the names=[f"{pi}/*"] filter,
     # ``gpar/regression.py:452-456``) padded to a uniform length.
     spans = []
     for pi in range(p):
-        names_pi = reg.vs.select([f"{pi}/*"])
+        names_pi = vs.select([f"{pi}/*"])
         idx = np.concatenate(
             [
                 np.arange(offsets[nm][0], offsets[nm][0] + offsets[nm][1])
@@ -191,11 +172,6 @@ def build_scan_fit_plan(reg, all_names):
     P1 = W - m  # padded output-column count (incl. the scratch column)
     xs = {
         "layer_gather": layer_gather,
-        "route_mask": route_mask.astype(dtype),
-        "obs_mask": obs_mask.astype(dtype),
-        "avail": avail.T.astype(dtype),  # (p, n)
-        "y_col": np.nan_to_num(y_np, nan=0.0).T.astype(dtype),  # (p, n)
-        "w_col": w_np.T.astype(dtype),  # (p, n)
         "in_var": np.zeros((p,), np.int32),
         "in_scales": np.zeros((p, m), np.int32),
         "noise": np.zeros((p,), np.int32),
@@ -279,6 +255,41 @@ def build_scan_fit_plan(reg, all_names):
                 )
 
     xs["col"] = np.arange(p, dtype=np.int32)  # output column index per layer
+    return xs, s_max, n_z
+
+
+def build_scan_fit_plan(reg, all_names):
+    """Build the per-layer stacked scan inputs from the regressor's data
+    caches and variable store (everything here is concrete NumPy)."""
+    cfg = reg.model_config
+    m, p, n = reg.m, reg.p, reg.n
+    W = m + p  # p - 1 real output columns + one gated scratch column
+    dtype = np.dtype(np.asarray(reg.x).dtype)
+
+    y_np = np.asarray(reg.y)
+    w_np = np.asarray(reg.w)
+    avail = ~np.isnan(y_np)
+
+    # Absolute row masks: the cumulative per_output routing
+    # (``gpar/model.py:325-368``) composed onto the original n rows.
+    keep = bool(reg.impute)
+    route = np.ones(n, dtype=bool)
+    route_mask = np.zeros((p, n), dtype=bool)
+    for pi in range(p):
+        if keep and pi < p - 1:
+            layer_keep = avail[:, pi] | avail[:, pi + 1 :].any(axis=1)
+        else:
+            layer_keep = avail[:, pi]
+        route = route & layer_keep
+        route_mask[pi] = route
+    obs_mask = route_mask & avail.T  # (p, n)
+
+    xs, s_max, n_z = _kernel_field_xs(reg.vs, all_names, m, p, W, cfg, dtype)
+    xs["route_mask"] = route_mask.astype(dtype)
+    xs["obs_mask"] = obs_mask.astype(dtype)
+    xs["avail"] = avail.T.astype(dtype)  # (p, n)
+    xs["y_col"] = np.nan_to_num(y_np, nan=0.0).T.astype(dtype)  # (p, n)
+    xs["w_col"] = w_np.T.astype(dtype)  # (p, n)
 
     return ScanFitPlan(
         m=m,
@@ -289,6 +300,28 @@ def build_scan_fit_plan(reg, all_names):
         n_z=n_z,
         xs=xs,
         config=dict(cfg),
+        sparse=reg.sparse,
+        impute=bool(reg.impute),
+        replace=bool(reg.replace),
+    )
+
+
+def build_scan_prior_plan(reg, m, p, all_names, dtype):
+    """Plan for scan-fused PRIOR sampling: the kernel-field xs only — the
+    prior chain has no conditioning data, so the row arrays are absent
+    (``n = 0``)."""
+    xs, s_max, n_z = _kernel_field_xs(
+        reg.vs, all_names, m, p, m + p, reg.model_config, np.dtype(dtype)
+    )
+    return ScanFitPlan(
+        m=m,
+        p=p,
+        W=m + p,
+        n=0,
+        s_max=s_max,
+        n_z=n_z,
+        xs=xs,
+        config=dict(reg.model_config),
         sparse=reg.sparse,
         impute=bool(reg.impute),
         replace=bool(reg.replace),
@@ -996,6 +1029,116 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
                     y_next[:, None],
                     (jnp.int32(0), jnp.asarray(col, jnp.int32)),
                 )
+                return xt_s, key_next, ret
+
+            if sample_chunk is None or sample_chunk >= S:
+                xt_b, keys, rets = jax.vmap(one)(xt_b, keys)
+            else:
+                pad = (-S) % sample_chunk
+                xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
+                keys_p = (
+                    jnp.concatenate([keys, keys[:pad]]) if pad else keys
+                )
+                nch = (S + pad) // sample_chunk
+
+                def chunk(args):
+                    return jax.vmap(one)(*args)
+
+                xt_p, keys_p, rets_p = lax.map(
+                    chunk,
+                    (
+                        xt_p.reshape(nch, sample_chunk, n_test, W),
+                        keys_p.reshape(nch, sample_chunk, 2),
+                    ),
+                )
+                xt_b = xt_p.reshape(-1, n_test, W)[:S]
+                keys = keys_p.reshape(-1, 2)[:S]
+                rets = rets_p.reshape(-1, n_test)[:S]
+            return (xt_b, keys), rets
+
+        _, ys_stack = lax.scan(step, (xt_b, keys), xs)  # (p, S, n_test)
+        return jnp.transpose(ys_stack, (1, 2, 0))
+
+    return tail
+
+
+def make_scan_prior_tail(plan, latent, sample_chunk=None):
+    """Per-sample PRIOR ancestral chains as one ``lax.scan`` over layers —
+    the scan-fused form of ``GPARRegressor.sample(posterior=False)``
+    (``gpar/regression.py:508-564``, prior branch), built from a
+    :func:`build_scan_prior_plan`.
+
+    The prior chain is ``_sample_chain`` with prior GPs: the mean is zero
+    everywhere, so under ``replace=True`` the forwarded column is exactly
+    zero (``f.mean(x) == 0``, ``gpar/model.py:275`` with ``obs=None``) and
+    the sparse path's inducing-input augmentation (zero columns) never
+    influences a draw — prior FDDs ignore the inducing points.  Key
+    stream, noise placement (floored per-point noise inside the observed
+    covariance; UNfloored ``sqrt(noise/w)`` on latent feed-forward), and
+    the PSD sampling factor replicate ``_sample_chain`` per key, so draws
+    bit-match the unrolled vmapped chain whenever ``safe_cholesky``'s
+    jitter ladder succeeds.  One caveat: with ``latent=True`` on a
+    degenerate noiseless Gram (dense EQ kernels over many close points),
+    ``psd_sample_factor`` falls back to the clamped eigendecomposition,
+    and eigenvectors of near-equal eigenvalues are not stable across two
+    differently-compiled programs — scan and unrolled then draw from the
+    same clamped distribution through different (equally valid) factors,
+    so samples agree only to ~sqrt(eps) (~5e-4 observed in f64; see
+    ``tests/test_fused_scan.py::test_prior_scan_tail_degenerate_latent``).
+    Cold compile is O(1) in p — the last serving path that still paid
+    O(p) XLA compilation.
+
+    ``sample_chunk`` as in :func:`make_scan_ancestral_tail`.  Returns
+    ``tail(z_all, x_test, w_test_T, keys) -> batch`` of (S, n_test, p)
+    model-space samples.
+    """
+    m, W = plan.m, plan.W
+    xs_np = plan.xs
+
+    def tail(z_all, x_test, w_test_T, keys):
+        dtype = x_test.dtype
+        n_test = x_test.shape[0]
+        S = keys.shape[0]
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        xt0 = jnp.concatenate(
+            [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
+        )
+        xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
+        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
+
+        def step(carry, lin):
+            xt_b, keys = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+
+            def one(xt_s, key):
+                ks = jax.random.split(key, 3)
+                key_next, k1, k2 = ks[0], ks[1], ks[2]
+                cov_t = gram(kernel, xt_s, xt_s)
+                if latent:
+                    F = psd_sample_factor(cov_t)
+                    z1 = jax.random.normal(k1, (n_test,), dtype)
+                    f_s = F @ z1
+                    z2 = jax.random.normal(k2, (n_test,), dtype)
+                    y_s = f_s + jnp.sqrt(noise / lin["w_t"]) * z2
+                    ret = f_s
+                else:
+                    F = psd_sample_factor(
+                        cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
+                    )
+                    z1 = jax.random.normal(k1, (n_test,), dtype)
+                    y_s = F @ z1
+                    ret = y_s
+
+                # Prior mean is zero: replace=True forwards an (already
+                # zero) column, so only the replace=False write matters.
+                if not plan.replace:
+                    col = m + lin["col"]
+                    xt_s = lax.dynamic_update_slice(
+                        xt_s,
+                        y_s[:, None],
+                        (jnp.int32(0), jnp.asarray(col, jnp.int32)),
+                    )
                 return xt_s, key_next, ret
 
             if sample_chunk is None or sample_chunk >= S:

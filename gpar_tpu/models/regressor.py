@@ -1914,6 +1914,24 @@ class GPARRegressor:
                 # compile).
                 scan_tail = False
 
+        if not posterior and _cfg.scan_predict:
+            # Scan-fused PRIOR sampling: per-sample ancestral chains with
+            # zero-mean layers through one lax.scan — cold compile O(1)
+            # in p (fused.make_scan_prior_tail; bit-matches the unrolled
+            # chain per key).
+            from .fused import build_scan_prior_plan, make_scan_prior_tail
+
+            scan_tail = True
+            prior_plan = build_scan_prior_plan(
+                self, m_in, p_out, names, x.dtype
+            )
+            prior_tail = make_scan_prior_tail(
+                prior_plan, latent, sample_chunk=_cfg.predict_sample_chunk
+            )
+
+            def program(z, x_data, x_test, w_test, keys):
+                return prior_tail(z, x_test, w_test.T, keys)
+
         def finalize(batch):
             # On-device reduction (predict): undo transforms, drop the
             # mesh-padding surplus, then reduce over the sample axis — the

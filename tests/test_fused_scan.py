@@ -806,3 +806,75 @@ def test_fit_predict_scan_tail_under_mesh(replace):
     approx(m1, m2, atol=1e-6)
     approx(lo1, lo2, atol=1e-6)
     approx(hi1, hi2, atol=1e-6)
+
+
+@pytest.mark.parametrize("latent", [False, True])
+@pytest.mark.parametrize("replace", [False, True])
+def test_prior_scan_tail_matches_unrolled(replace, latent):
+    # sample(posterior=False) rides the scan-fused prior tail
+    # (models/fused.py, make_scan_prior_tail): one lax.scan over
+    # zero-mean layers, per-sample chains vmapped in the body — vs the
+    # unrolled vmapped _sample_chain with the same keys.  Bit oracle:
+    # the tail replicates the per-layer three-way key split and noise
+    # placement exactly.
+    from gpar_tpu import config
+
+    reg = GPARRegressor(noise=0.1, replace=replace, normalise_y=True)
+    x_test = np.linspace(-1.0, 7.0, 19)
+    key = jax.random.PRNGKey(3)
+
+    assert config.scan_predict  # default on
+    s_scan = reg.sample(x_test, p=3, num_samples=4, latent=latent, key=key)
+    try:
+        config.scan_predict = False
+        s_unroll = reg.sample(x_test, p=3, num_samples=4, latent=latent, key=key)
+    finally:
+        config.scan_predict = True
+    for a, b in zip(s_scan, s_unroll):
+        approx(a, b, atol=1e-9)
+
+    # Sparse configs draw identically (prior FDDs ignore inducing points).
+    reg_sp = GPARRegressor(
+        noise=0.1, replace=replace, x_ind=np.linspace(0, 6, 7)
+    )
+    s_sp = reg_sp.sample(x_test, p=3, num_samples=2, latent=latent, key=key)
+    try:
+        config.scan_predict = False
+        s_sp_u = reg_sp.sample(x_test, p=3, num_samples=2, latent=latent, key=key)
+    finally:
+        config.scan_predict = True
+    for a, b in zip(s_sp, s_sp_u):
+        approx(a, b, atol=1e-9)
+
+
+def test_prior_scan_tail_degenerate_latent():
+    # With latent=True on a DEGENERATE noiseless prior Gram (50 close
+    # points, dense EQ kernel, condition >> 1/eps even in f64) the jitter
+    # ladder fails and psd_sample_factor's clamped-eigh fallback engages.
+    # Eigenvectors of near-equal eigenvalues are not stable across two
+    # differently-compiled programs, so scan and unrolled draw through
+    # different (equally valid) factors of the same clamped covariance:
+    # samples agree only to ~sqrt(eps), NOT bitwise.  Pin that envelope,
+    # and pin that latent=False at the *same* points stays bit-exact
+    # (proving the Gram + ladder pipeline itself is program-independent —
+    # only the eigh fallback diverges).
+    from gpar_tpu import config
+
+    x_test = np.linspace(-1.0, 7.0, 50)
+    key = jax.random.PRNGKey(11)
+    reg = GPARRegressor(noise=0.1, replace=False)
+
+    def both(latent):
+        s_scan = reg.sample(x_test, p=4, num_samples=8, latent=latent, key=key)
+        try:
+            config.scan_predict = False
+            s_un = reg.sample(x_test, p=4, num_samples=8, latent=latent, key=key)
+        finally:
+            config.scan_predict = True
+        return max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(s_scan, s_un)
+        )
+
+    assert both(latent=False) < 1e-9
+    assert both(latent=True) < 5e-3
