@@ -1465,7 +1465,7 @@ class GPARRegressor:
             )
             # When the posterior-factor cache is eligible, run the split
             # serving tail and RETURN the factors so follow-up predict/
-            # sample calls skip conditioning entirely (finding 18); the
+            # sample calls skip conditioning entirely (PERF.md finding 19); the
             # single-scan tail remains for big dense stacks, where
             # materialising p (n, n) factors would cost more HBM than the
             # cache saves.
