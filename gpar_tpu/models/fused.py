@@ -69,6 +69,7 @@ from ..ops.kernels import EQ, RQ, Const, Linear, ZeroKernel, gram, kdiag
 from ..ops.linalg import (
     floor_noise,
     psd_sample_factor,
+    psd_sample_factor_batched,
     resolve_epsilon,
     safe_cholesky,
     solve_chol,
@@ -309,7 +310,12 @@ def build_scan_fit_plan(reg, all_names):
 def build_scan_prior_plan(reg, m, p, all_names, dtype):
     """Plan for scan-fused PRIOR sampling: the kernel-field xs only — the
     prior chain has no conditioning data, so the row arrays are absent
-    (``n = 0``)."""
+    (``n = 0``).
+
+    Matches the prior branch of ``GPARRegressor.sample``
+    (``gpar/regression.py:508-550``), whose ancestral chain
+    (``gpar/model.py:245-277``) is consumed by :func:`make_scan_prior_tail`.
+    """
     xs, s_max, n_z = _kernel_field_xs(
         reg.vs, all_names, m, p, m + p, reg.model_config, np.dtype(dtype)
     )
@@ -445,6 +451,27 @@ def _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug):
             (jnp.int32(0), jnp.asarray(col, jnp.int32)),
         )
     return x_aug, zi_aug
+
+
+def _committed_plan_xs(xs_np, mesh):
+    """Pre-commit the plan's per-layer arrays for a program that shares an
+    XLA computation with ``shard_map`` collectives.
+
+    Returns ``None`` when no mesh is active — the builders then materialise
+    the arrays inside the trace as plain constants (measured fine
+    single-device).  Under a mesh, numpy constants materialised inside the
+    trace become foldable XLA literals, and the constant folder has been
+    observed to mis-evaluate folded prologues in programs containing
+    shard_map collectives on some hosts (PERF.md finding 18; CLAUDE.md) —
+    so install them ONCE at build time as explicitly replicated, committed
+    ``jax.device_put`` arrays, which enter the program as parameters.
+    """
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return {k: jax.device_put(np.asarray(v), rep) for k, v in xs_np.items()}
 
 
 def make_scan_fit_body(
@@ -773,7 +800,7 @@ def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scal
     return program
 
 
-def make_scan_posterior_factors(plan, x_ind):
+def make_scan_posterior_factors(plan, x_ind, mesh=None):
     """Stage A of the split serving path: per-layer posterior factors.
 
     Runs the conditioning half of the serving path — the closed-downwards
@@ -805,6 +832,7 @@ def make_scan_posterior_factors(plan, x_ind):
     m, W, n = plan.m, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
+    xs_dev = _committed_plan_xs(xs_np, mesh)
 
     def factors(z_all, x):
         dtype = x.dtype
@@ -818,7 +846,11 @@ def make_scan_posterior_factors(plan, x_ind):
             )
         else:
             zi_aug = jnp.zeros((0, W), dtype)
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs = (
+            dict(xs_dev)
+            if xs_dev is not None
+            else {k: jnp.asarray(v) for k, v in xs_np.items()}
+        )
 
         def step(carry, lin):
             x_aug, zi_aug = carry
@@ -853,7 +885,7 @@ def make_scan_posterior_factors(plan, x_ind):
     return factors
 
 
-def make_scan_cached_tail(plan, latent):
+def make_scan_cached_tail(plan, latent, mesh=None):
     """Stage B of the split serving path: Monte-Carlo predictive sampling
     from the cached per-layer factors of
     :func:`make_scan_posterior_factors`.
@@ -874,6 +906,7 @@ def make_scan_cached_tail(plan, latent):
     m, W = plan.m, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
+    xs_dev = _committed_plan_xs(xs_np, mesh)
 
     def tail(z_all, factors, x_test, w_test_T, keys):
         dtype = x_test.dtype
@@ -882,7 +915,11 @@ def make_scan_cached_tail(plan, latent):
         xt_aug = jnp.concatenate(
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs = (
+            dict(xs_dev)
+            if xs_dev is not None
+            else {k: jnp.asarray(v) for k, v in xs_np.items()}
+        )
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
         xs["fac"] = factors
 
@@ -929,7 +966,7 @@ def make_scan_cached_tail(plan, latent):
     return tail
 
 
-def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
+def make_scan_ancestral_tail(plan, latent, sample_chunk=None, mesh=None):
     """Per-sample ancestral chains from cached posterior factors — the
     scan-fused serving tail for ``replace=False`` (the reference's DEFAULT
     predictive configuration: EEG/exchange/jura all serve with it).
@@ -968,6 +1005,7 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
     m, W = plan.m, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
+    xs_dev = _committed_plan_xs(xs_np, mesh)
 
     def tail(z_all, factors, x_test, w_test_T, keys):
         dtype = x_test.dtype
@@ -978,7 +1016,11 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs = (
+            dict(xs_dev)
+            if xs_dev is not None
+            else {k: jnp.asarray(v) for k, v in xs_np.items()}
+        )
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
         xs["fac"] = factors
 
@@ -987,9 +1029,7 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
             kernel, noise = _layer_kernel(plan, lin, z_ext)
             fac = lin["fac"]
 
-            def one(xt_s, key):
-                ks = jax.random.split(key, 3)
-                key_next, k1, k2 = ks[0], ks[1], ks[2]
+            def prep(xt_s):
                 if sparse:
                     Kmt = gram(kernel, fac["zi_aug"], xt_s)
                     mean_t = Kmt.T @ fac["beta"]
@@ -1006,19 +1046,18 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
                     mean_t = Kxt.T @ fac["alpha"]
                     V = solve_lower(fac["L"], Kxt)
                     cov_t = gram(kernel, xt_s, xt_s) - V.T @ V
+                return mean_t, cov_t
 
+            def draw(xt_s, key, mean_t, F):
+                ks = jax.random.split(key, 3)
+                key_next, k1, k2 = ks[0], ks[1], ks[2]
+                z1 = jax.random.normal(k1, (n_test,), dtype)
                 if latent:
-                    F = psd_sample_factor(cov_t)
-                    z1 = jax.random.normal(k1, (n_test,), dtype)
                     f_s = mean_t + F @ z1
                     z2 = jax.random.normal(k2, (n_test,), dtype)
                     y_s = f_s + jnp.sqrt(noise / lin["w_t"]) * z2
                     ret = f_s
                 else:
-                    F = psd_sample_factor(
-                        cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
-                    )
-                    z1 = jax.random.normal(k1, (n_test,), dtype)
                     y_s = mean_t + F @ z1
                     ret = y_s
 
@@ -1031,8 +1070,23 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
                 )
                 return xt_s, key_next, ret
 
+            def batch(xt_b, keys):
+                # The PSD factorisations run BATCHED, outside the sample
+                # vmap: under vmap lax.cond lowers to select and every
+                # sample would pay the full retry ladder plus an eigh
+                # (PERF.md finding 9); the batch-level gates in
+                # psd_sample_factor_batched make the common all-finite
+                # case one batched Cholesky per layer.
+                mean_b, cov_b = jax.vmap(prep)(xt_b)
+                if not latent:
+                    cov_b = cov_b + jnp.diag(
+                        floor_noise(noise / lin["w_t"])
+                    )[None]
+                F_b = psd_sample_factor_batched(cov_b)
+                return jax.vmap(draw)(xt_b, keys, mean_b, F_b)
+
             if sample_chunk is None or sample_chunk >= S:
-                xt_b, keys, rets = jax.vmap(one)(xt_b, keys)
+                xt_b, keys, rets = batch(xt_b, keys)
             else:
                 pad = (-S) % sample_chunk
                 xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
@@ -1042,17 +1096,19 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
                 nch = (S + pad) // sample_chunk
 
                 def chunk(args):
-                    return jax.vmap(one)(*args)
+                    return batch(*args)
 
                 xt_p, keys_p, rets_p = lax.map(
                     chunk,
                     (
                         xt_p.reshape(nch, sample_chunk, n_test, W),
-                        keys_p.reshape(nch, sample_chunk, 2),
+                        # *shape[1:] keeps both key layouts working: raw
+                        # uint32 keys are (S, 2), typed PRNG keys are (S,).
+                        keys_p.reshape(nch, sample_chunk, *keys_p.shape[1:]),
                     ),
                 )
                 xt_b = xt_p.reshape(-1, n_test, W)[:S]
-                keys = keys_p.reshape(-1, 2)[:S]
+                keys = keys_p.reshape(-1, *keys_p.shape[2:])[:S]
                 rets = rets_p.reshape(-1, n_test)[:S]
             return (xt_b, keys), rets
 
@@ -1062,7 +1118,7 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None):
     return tail
 
 
-def make_scan_prior_tail(plan, latent, sample_chunk=None):
+def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
     """Per-sample PRIOR ancestral chains as one ``lax.scan`` over layers —
     the scan-fused form of ``GPARRegressor.sample(posterior=False)``
     (``gpar/regression.py:508-564``, prior branch), built from a
@@ -1094,6 +1150,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None):
     """
     m, W = plan.m, plan.W
     xs_np = plan.xs
+    xs_dev = _committed_plan_xs(xs_np, mesh)
 
     def tail(z_all, x_test, w_test_T, keys):
         dtype = x_test.dtype
@@ -1104,29 +1161,27 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None):
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs = (
+            dict(xs_dev)
+            if xs_dev is not None
+            else {k: jnp.asarray(v) for k, v in xs_np.items()}
+        )
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
 
         def step(carry, lin):
             xt_b, keys = carry
             kernel, noise = _layer_kernel(plan, lin, z_ext)
 
-            def one(xt_s, key):
+            def draw(xt_s, key, F):
                 ks = jax.random.split(key, 3)
                 key_next, k1, k2 = ks[0], ks[1], ks[2]
-                cov_t = gram(kernel, xt_s, xt_s)
+                z1 = jax.random.normal(k1, (n_test,), dtype)
                 if latent:
-                    F = psd_sample_factor(cov_t)
-                    z1 = jax.random.normal(k1, (n_test,), dtype)
                     f_s = F @ z1
                     z2 = jax.random.normal(k2, (n_test,), dtype)
                     y_s = f_s + jnp.sqrt(noise / lin["w_t"]) * z2
                     ret = f_s
                 else:
-                    F = psd_sample_factor(
-                        cov_t + jnp.diag(floor_noise(noise / lin["w_t"]))
-                    )
-                    z1 = jax.random.normal(k1, (n_test,), dtype)
                     y_s = F @ z1
                     ret = y_s
 
@@ -1141,8 +1196,21 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None):
                     )
                 return xt_s, key_next, ret
 
+            def batch(xt_b, keys):
+                # Factorisations batched outside the sample vmap — see
+                # make_scan_ancestral_tail (PERF.md finding 9).
+                cov_b = jax.vmap(
+                    lambda xt_s: gram(kernel, xt_s, xt_s)
+                )(xt_b)
+                if not latent:
+                    cov_b = cov_b + jnp.diag(
+                        floor_noise(noise / lin["w_t"])
+                    )[None]
+                F_b = psd_sample_factor_batched(cov_b)
+                return jax.vmap(draw)(xt_b, keys, F_b)
+
             if sample_chunk is None or sample_chunk >= S:
-                xt_b, keys, rets = jax.vmap(one)(xt_b, keys)
+                xt_b, keys, rets = batch(xt_b, keys)
             else:
                 pad = (-S) % sample_chunk
                 xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
@@ -1152,17 +1220,19 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None):
                 nch = (S + pad) // sample_chunk
 
                 def chunk(args):
-                    return jax.vmap(one)(*args)
+                    return batch(*args)
 
                 xt_p, keys_p, rets_p = lax.map(
                     chunk,
                     (
                         xt_p.reshape(nch, sample_chunk, n_test, W),
-                        keys_p.reshape(nch, sample_chunk, 2),
+                        # *shape[1:] keeps both key layouts working: raw
+                        # uint32 keys are (S, 2), typed PRNG keys are (S,).
+                        keys_p.reshape(nch, sample_chunk, *keys_p.shape[1:]),
                     ),
                 )
                 xt_b = xt_p.reshape(-1, n_test, W)[:S]
-                keys = keys_p.reshape(-1, 2)[:S]
+                keys = keys_p.reshape(-1, *keys_p.shape[2:])[:S]
                 rets = rets_p.reshape(-1, n_test)[:S]
             return (xt_b, keys), rets
 
@@ -1172,7 +1242,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None):
     return tail
 
 
-def make_scan_predict_tail(plan, x_ind, latent):
+def make_scan_predict_tail(plan, x_ind, latent, mesh=None):
     """Scan-fused posterior conditioning + Monte-Carlo predictive sampling.
 
     The round-1 serving path unrolls the p-layer chain twice in Python —
@@ -1216,6 +1286,7 @@ def make_scan_predict_tail(plan, x_ind, latent):
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
+    xs_dev = _committed_plan_xs(xs_np, mesh)
 
     def tail(z_all, x, x_test, w_test_T, keys):
         dtype = x.dtype
@@ -1234,7 +1305,11 @@ def make_scan_predict_tail(plan, x_ind, latent):
         else:
             zi_aug = jnp.zeros((0, W), dtype)
 
-        xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs = (
+            dict(xs_dev)
+            if xs_dev is not None
+            else {k: jnp.asarray(v) for k, v in xs_np.items()}
+        )
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
 
         def step(carry, lin):

@@ -654,13 +654,17 @@ class GPARRegressor:
                     memory_size,
                 )
                 # Per-observation scores keep candidates with different
-                # missingness comparable; empty candidates score -inf
-                # (ties/all-empty resolve to the first remaining index,
-                # matching the sequential scorer's iteration order).
+                # missingness comparable; empty candidates AND diverged
+                # candidates (non-finite optimised NLL) score -inf — the
+                # sequential scorer's `score > best_score` comparison skips
+                # NaN scores, and np.argmax would otherwise PICK a NaN.
+                # Ties/all-empty resolve to the first remaining index,
+                # matching the sequential scorer's iteration order.
                 with np.errstate(invalid="ignore"):
                     scores = np.where(
                         n_obs > 0, -nlls / np.maximum(n_obs, 1), -np.inf
                     )
+                scores = np.where(np.isfinite(scores), scores, -np.inf)
                 best_o = remaining[int(np.argmax(scores))]
             else:
                 best_o, best_score = remaining[0], -np.inf
@@ -1422,9 +1426,12 @@ class GPARRegressor:
                     y_cached, all_names, iters, gtol, memory_size,
                     restarts, restart_scale, scan,
                 )
-                factors_fn = make_scan_posterior_factors(plan, self.x_ind)
+                factors_fn = make_scan_posterior_factors(
+                    plan, self.x_ind, mesh=_cfg.mesh
+                )
                 anc_tail = make_scan_ancestral_tail(
-                    plan, latent, sample_chunk=_cfg.predict_sample_chunk
+                    plan, latent, sample_chunk=_cfg.predict_sample_chunk,
+                    mesh=_cfg.mesh,
                 )
                 cache_factors = self._factor_cache_eligible(plan)
 
@@ -1476,8 +1483,12 @@ class GPARRegressor:
                     make_scan_posterior_factors,
                 )
 
-                factors_fn = make_scan_posterior_factors(plan, self.x_ind)
-                tail_cached = make_scan_cached_tail(plan, latent)
+                factors_fn = make_scan_posterior_factors(
+                    plan, self.x_ind, mesh=_cfg.mesh
+                )
+                tail_cached = make_scan_cached_tail(
+                    plan, latent, mesh=_cfg.mesh
+                )
 
                 def program(z0, x_arr, x_test, w_test, keys, layer_keys):
                     z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
@@ -1498,7 +1509,9 @@ class GPARRegressor:
                     )
 
             else:
-                tail = make_scan_predict_tail(plan, self.x_ind, latent)
+                tail = make_scan_predict_tail(
+                    plan, self.x_ind, latent, mesh=_cfg.mesh
+                )
 
                 def program(z0, x_arr, x_test, w_test, keys, layer_keys):
                     z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
@@ -1863,7 +1876,7 @@ class GPARRegressor:
                 from .fused import make_scan_cached_tail
 
                 factors = self._posterior_factors(plan, names, z)
-                tail = make_scan_cached_tail(plan, latent)
+                tail = make_scan_cached_tail(plan, latent, mesh=_cfg.mesh)
 
                 def program(z, factors, x_test, w_test, keys):
                     batch, _ = tail(z, factors, x_test, w_test.T, keys)
@@ -1872,7 +1885,9 @@ class GPARRegressor:
             elif self.replace:
                 from .fused import make_scan_predict_tail
 
-                tail = make_scan_predict_tail(plan, self.x_ind, latent)
+                tail = make_scan_predict_tail(
+                    plan, self.x_ind, latent, mesh=_cfg.mesh
+                )
 
                 def program(z, x_data, x_test, w_test, keys):
                     batch, _ = tail(z, x_data, x_test, w_test.T, keys)
@@ -1886,7 +1901,8 @@ class GPARRegressor:
                 from .fused import make_scan_ancestral_tail
 
                 tail = make_scan_ancestral_tail(
-                    plan, latent, sample_chunk=_cfg.predict_sample_chunk
+                    plan, latent, sample_chunk=_cfg.predict_sample_chunk,
+                    mesh=_cfg.mesh,
                 )
                 if self._factor_cache_eligible(plan):
                     factors = self._posterior_factors(plan, names, z)
@@ -1900,7 +1916,7 @@ class GPARRegressor:
                     from .fused import make_scan_posterior_factors
 
                     factors_fn = make_scan_posterior_factors(
-                        plan, self.x_ind
+                        plan, self.x_ind, mesh=_cfg.mesh
                     )
 
                     def program(z, x_data, x_test, w_test, keys):
@@ -1926,7 +1942,8 @@ class GPARRegressor:
                 self, m_in, p_out, names, x.dtype
             )
             prior_tail = make_scan_prior_tail(
-                prior_plan, latent, sample_chunk=_cfg.predict_sample_chunk
+                prior_plan, latent, sample_chunk=_cfg.predict_sample_chunk,
+                mesh=_cfg.mesh,
             )
 
             def program(z, x_data, x_test, w_test, keys):
@@ -2033,9 +2050,12 @@ class GPARRegressor:
         jit_key = ("pfactors", self.p, mesh_descriptor(), self._data_fingerprint)
         fn = self._jit_cache.get(jit_key)
         if fn is None:
+            from ..config import config as _cfg
             from .fused import make_scan_posterior_factors
 
-            fn = jax.jit(make_scan_posterior_factors(plan, self.x_ind))
+            fn = jax.jit(
+                make_scan_posterior_factors(plan, self.x_ind, mesh=_cfg.mesh)
+            )
             self._jit_cache[jit_key] = fn
         factors = fn(z, self.x)
         self._factor_cache = (key, factors)

@@ -406,6 +406,67 @@ def psd_sample_factor(K, epsilon=None):
     )
 
 
+def psd_sample_factor_batched(K, epsilon=None):
+    """:func:`psd_sample_factor` over a leading batch axis, with the retry
+    ladder and the eigh fallback gated on BATCH-level finiteness.
+
+    Under ``vmap``, ``lax.cond`` lowers to ``select`` and BOTH branches
+    execute for every batch element — so ``vmap(psd_sample_factor)`` pays
+    every retry rung *plus* a full eigendecomposition per element even when
+    the plain jittered Cholesky succeeds for all of them (PERF.md finding
+    9: the dominant cost of per-sample ancestral serving).  Called OUTSIDE
+    the vmap on the stacked covariances ``K`` of shape (S, n, n), the
+    ``lax.cond`` gates here are real branches: the common all-finite case
+    costs exactly one batched Cholesky, and each escalation rung (and the
+    eigh) runs only when some element actually needs it.  When a rung does
+    run, per-element ``where`` keeps already-finite factors — the result
+    matches ``vmap(psd_sample_factor)(K)`` element for element.
+    """
+    eps = resolve_epsilon(K.dtype, epsilon)
+    n = K.shape[-1]
+    if n == 0:
+        return jnp.zeros_like(K)
+    eye = jnp.eye(n, dtype=K.dtype)
+
+    def attempt(e):
+        # e: scalar or (S, 1, 1).  vmap keeps _chol_grad_safe's per-lane
+        # NaN-proof VJP semantics; XLA lowers it to one batched Cholesky.
+        return jax.vmap(_chol_grad_safe)(K + e * eye)
+
+    def finite_each(L):
+        return jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
+
+    L = attempt(eps)
+    for factor in config.cholesky_retry_factors:
+        L = lax.cond(
+            jnp.all(jnp.isfinite(L)),
+            lambda L=L: L,
+            lambda L=L, f=factor: jnp.where(
+                finite_each(L), L, attempt(eps * f)
+            ),
+        )
+    # Relative rung + clamped-eigh fallback, per psd_sample_factor.
+    rel = 1e-6 * jnp.max(
+        jnp.abs(jnp.diagonal(K, axis1=-2, axis2=-1)), axis=-1
+    )
+    L = lax.cond(
+        jnp.all(jnp.isfinite(L)),
+        lambda L=L: L,
+        lambda L=L: jnp.where(
+            finite_each(L),
+            L,
+            attempt(jnp.maximum(rel, eps)[:, None, None]),
+        ),
+    )
+
+    def clamped(L=L):
+        w, V = jnp.linalg.eigh(K)
+        F = V * jnp.sqrt(jnp.maximum(w, eps))[..., None, :]
+        return jnp.where(finite_each(L), L, F)
+
+    return lax.cond(jnp.all(jnp.isfinite(L)), lambda L=L: L, clamped)
+
+
 def solve_lower(L, b):
     """Solve ``L x = b`` with ``L`` lower triangular."""
     if L.shape[-1] == 0:

@@ -486,3 +486,49 @@ def test_titsias_f32_elbo_accurate_at_noise_floor():
     assert e64 < -1e5
     assert abs(e32 - e64) < 0.10 * abs(e64), (e32, e64)
     assert np.all(np.isfinite(beta32))
+
+
+def test_psd_sample_factor_batched_matches_vmap():
+    # The batched factoriser gates the retry ladder and the eigh fallback
+    # on BATCH-level finiteness (real lax.cond branches, since it runs
+    # outside vmap) but must return exactly what vmap(psd_sample_factor)
+    # returns element for element — including when the batch mixes a
+    # well-conditioned matrix, one needing an escalated jitter rung, and a
+    # genuinely indefinite one that only the clamped eigh can repair.
+    from gpar_tpu.ops.linalg import (
+        psd_sample_factor,
+        psd_sample_factor_batched,
+        safe_cholesky,
+    )
+
+    n = 24
+    ks = []
+    # (a) comfortably SPD.
+    ks.append(_spd(n))
+    # (b) indefinite at a level an escalated absolute rung repairs.
+    A = np.asarray(rng.normal(size=(n, n)))
+    Ksym = (A + A.T) / 2
+    w, V = np.linalg.eigh(Ksym)
+    w = np.abs(w)
+    w[:3] = -0.5 * config.epsilon * config.cholesky_retry_factors[0]
+    ks.append(V @ np.diag(w) @ V.T)
+    # (c) indefinite beyond the ladder: needs the clamped eigh.
+    w2 = np.abs(w)
+    w2[:5] = -1e-4
+    ks.append(V @ np.diag(w2) @ V.T)
+    K = jnp.asarray(np.stack(ks))
+
+    # Sanity on the construction: (c) really defeats the ladder.
+    assert bool(jnp.isnan(safe_cholesky(K[2])).any())
+
+    F_ref = jax.vmap(psd_sample_factor)(K)
+    F_bat = psd_sample_factor_batched(K)
+    approx(F_bat, F_ref, atol=1e-12)
+
+    # All-finite fast path (the gate everything hinges on) agrees too.
+    K_ok = jnp.asarray(np.stack([_spd(n) for _ in range(4)]))
+    approx(
+        psd_sample_factor_batched(K_ok),
+        jax.vmap(psd_sample_factor)(K_ok),
+        atol=1e-12,
+    )
