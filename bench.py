@@ -212,6 +212,27 @@ def main():
     print(f"[bench] warm fused fit_predict: {total:.1f}s", file=sys.stderr)
     report_quality(reg, mean, f_test, gates)
 
+    # Second-dataset cold (VERDICT r3 №1): a NEW dataset with a different
+    # row count inside the same shape bucket must reuse the compiled
+    # executable — production "new dataset" latency is the warm number,
+    # not a fresh XLA compile.
+    from gpar_tpu.config import bucket_rows
+
+    n2 = n + n // 20
+    x2, y2, f2 = make_data(n2, p, seed=42)
+    assert bucket_rows(n2) == bucket_rows(n), (n, n2)
+    reg2 = build_model(x2)
+    t0 = time.time()
+    total2, mean2 = run_once_fused(reg2, x2, y2, x2[:: n2 // n_test][:n_test],
+                                   iters, num_samples, 2)
+    assert np.isfinite(mean2).all()
+    print(
+        f"[bench] second-dataset cold (n={n2}, same bucket "
+        f"{bucket_rows(n)}): fused fit_predict {total2:.1f}s "
+        f"(bucket reuse; was ~{cold_fused:.0f}s per fresh shape unbucketed)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {

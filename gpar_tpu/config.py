@@ -145,6 +145,29 @@ class _Config:
         #: 10.95 ms one-shot builtin), so ``None`` (one-shot) is the
         #: default; must divide ``blocked_cholesky_block`` when set.
         self.blocked_cholesky_subblock = None
+        #: Shape-bucketed compilation: pad the row axes (n, n_test) of the
+        #: scan-fused fit and serving programs up to geometric buckets and
+        #: the Monte-Carlo sample count to a quantum, with the data riding
+        #: in as TRACED arguments and the padding neutralised by the same
+        #: 0/1 row masks the mesh paths use — so ONE compiled executable
+        #: serves a whole size range and a new dataset (same model, any
+        #: row count inside the bucket) reuses it instead of paying the
+        #: per-shape cold XLA compile.  Applies to the single-device
+        #: scan-fused paths (mesh programs pad to the device geometry and
+        #: commit their data at build time; unrolled fallbacks bake the
+        #: data's NaN plan).  False: compile exactly at the data shape.
+        self.shape_buckets = True
+        #: Geometric ratio between consecutive row buckets: padding wastes
+        #: at most ~(ratio - 1) of the rows and the number of distinct
+        #: compiles over any size range is logarithmic.
+        self.bucket_ratio = 1.25
+        #: Smallest row bucket (also the multiple every bucket is rounded
+        #: up to — MXU-tile friendly).
+        self.bucket_floor = 64
+        #: Monte-Carlo sample counts pad up to a multiple of this; the
+        #: surplus draws are invalidated before the on-device reduction
+        #: (prefix-stable key splitting keeps the real draws identical).
+        self.sample_bucket = 16
         #: Execution mesh for multi-chip runs (``jax.sharding.Mesh`` with
         #: one axis, or None).  When set, the sparse (Titsias) training
         #: path row-shards its per-layer statistics over the mesh and
@@ -161,15 +184,21 @@ class _Config:
         #: (``parallel/dense.py``); shrunk automatically for small
         #: problems so padding overhead stays bounded.
         self.dense_shard_block = 256
-        #: Scan-fused posterior prediction (``models/fused.py``
-        #: ``make_scan_predict_tail``): conditioning + Monte-Carlo
-        #: sampling as one ``lax.scan`` over layers instead of a p-fold
-        #: Python unroll — compile time O(1) in p.  Engages for posterior
-        #: sampling/prediction/fit_predict on ``replace=True`` chains
-        #: (under an active mesh, ``sample``/``predict`` shard the key
-        #: batch through the tail; ``fit_predict`` keeps the unrolled
-        #: tail); False forces the unrolled path everywhere
-        #: (oracle/fallback).
+        #: Scan-fused serving (``models/fused.py``): conditioning +
+        #: Monte-Carlo sampling as ``lax.scan``s over layers instead of a
+        #: p-fold Python unroll — compile time O(1) in p.  Engages for
+        #: every serving path: posterior ``sample``/``predict``/
+        #: ``fit_predict`` on BOTH replace modes (replace=True via
+        #: ``make_scan_predict_tail``/``make_scan_cached_tail``,
+        #: replace=False via ``make_scan_posterior_factors`` +
+        #: ``make_scan_ancestral_tail``) and prior sampling
+        #: (``make_scan_prior_tail``), single-device and under an active
+        #: mesh alike (the key batch stays sharded through the tails; the
+        #: mesh ``fit_predict`` fit body runs inside one shard_map).  The
+        #: only automatic fallback to the unrolled path is a dense factor
+        #: stack too large to materialise
+        #: (``posterior_cache_max_bytes``).  False forces the unrolled
+        #: path everywhere (oracle/fallback).
         self.scan_predict = True
         #: Repeated-serving fast path: cache the per-layer posterior
         #: factors (sparse: Titsias Lm/LB/beta + augmented inducing
@@ -185,12 +214,21 @@ class _Config:
         self.posterior_cache_max_bytes = 1 << 30
         #: Per-sample serving (``replace=False``, the reference default)
         #: draws each Monte-Carlo sample through its own posterior
-        #: covariance (the sampled outputs feed forward).  ``None`` vmaps
-        #: the whole sample batch — peak memory O(S * n_test^2) per layer,
-        #: the same profile as the unrolled path.  An integer processes
-        #: the sample axis in ``lax.map`` chunks of that size, bounding
-        #: peak memory at O(chunk * n_test^2) for large test sets.
-        self.predict_sample_chunk = None
+        #: covariance (the sampled outputs feed forward), so the batched
+        #: tails hold O(S * n_test^2) covariance buffers.  ``"auto"``
+        #: (default) bounds that peak by processing the sample axis in
+        #: ``lax.map`` chunks sized from ``predict_memory_budget`` (see
+        #: :func:`gpar_tpu.models.fused.resolve_sample_chunk`); an integer
+        #: fixes the chunk size; ``None``/``0`` vmaps the whole batch
+        #: (peak O(S * n_test^2) per layer, the unrolled path's profile).
+        #: Chunked draws bit-match the unchunked tail per key.
+        self.predict_sample_chunk = "auto"
+        #: Peak-memory budget (bytes) for the per-sample serving tails'
+        #: batched covariance work under ``predict_sample_chunk="auto"``:
+        #: the chunk is sized so ~4 live (chunk, n_test, n_test) buffers
+        #: (covariance, PSD factor, retry-ladder temporaries) stay inside
+        #: it.  Mirrors ``posterior_cache_max_bytes``.
+        self.predict_memory_budget = 2 << 30
 
 
 config = _Config()
@@ -213,7 +251,22 @@ def use_mesh(mesh, min_rows=None, axis=None):
         with gpar_tpu.use_mesh(mesh):
             reg.fit(x, y)
             means = reg.predict(x_new)
+
+    Single-process meshes only (SURVEY.md §5): the estimator device_puts
+    plan/data/key arrays from the host with explicit shardings, which
+    requires every mesh device to be addressable from this process —
+    multi-host (``jax.distributed``) runs raise up front rather than
+    silently mis-sharding (see ``parallel.sharded.make_mesh`` and
+    docs/design.md "Multi-host readiness").
     """
+    import jax
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "gpar_tpu meshes are single-process (SURVEY.md §5): host-side "
+            "device_put of plan/data arrays assumes all mesh devices are "
+            "addressable from this process."
+        )
     prev = (config.mesh, config.shard_min_rows, config.shard_axis)
     config.mesh = mesh
     if min_rows is not None:
@@ -244,6 +297,10 @@ def mesh_descriptor():
         )
     return (
         mesh_part,
+        config.shape_buckets,
+        config.bucket_ratio,
+        config.bucket_floor,
+        config.sample_bucket,
         config.epsilon,
         config.epsilon_f32,
         tuple(config.cholesky_retry_factors),
@@ -257,7 +314,29 @@ def mesh_descriptor():
         config.cholesky_trsm_inverse,
         config.dense_shard_block,
         config.predict_sample_chunk,
+        config.predict_memory_budget,
     )
+
+
+def bucket_rows(n):
+    """Smallest row bucket >= ``n``: geometric steps of ``bucket_ratio``
+    from ``bucket_floor``, each rounded up to a ``bucket_floor`` multiple.
+    Identity when ``shape_buckets`` is off (compile exactly at ``n``)."""
+    if not config.shape_buckets or n <= 0:
+        return n
+    q = b = config.bucket_floor
+    while b < n:
+        b = int(-(-int(b * config.bucket_ratio) // q) * q)
+    return b
+
+
+def bucket_samples(s):
+    """Smallest ``sample_bucket`` multiple >= ``s`` (identity when
+    ``shape_buckets`` is off)."""
+    if not config.shape_buckets or s <= 0:
+        return s
+    q = config.sample_bucket
+    return -(-s // q) * q
 
 
 def default_dtype():

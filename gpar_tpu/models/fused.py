@@ -87,8 +87,10 @@ __all__ = [
     "make_batched_fit_body",
     "make_scan_ancestral_tail",
     "make_scan_fit_body",
+    "make_scan_free_fit_body",
     "make_scan_predict_tail",
     "make_scan_prior_tail",
+    "resolve_sample_chunk",
 ]
 
 
@@ -99,6 +101,49 @@ _POS = _LowerBounded(0.0)
 _NOISE = _LowerBounded(1e-8)
 _ALPHA = _Bounded(1e-3, 1e3)
 _ID = _Identity()
+
+#: Plan entries carrying one value per data row (everything else in the
+#: plan is model structure: index maps, gates, column ids).  The row
+#: arrays shard along the row axis under a mesh and ride in as TRACED
+#: arguments under shape bucketing (``config.shape_buckets``), making the
+#: compiled programs data-independent.
+_ROW_KEYS = ("route_mask", "obs_mask", "avail", "y_col", "w_col")
+
+
+def pad_plan_rows(plan, n_rows):
+    """Host-side padded copies of the plan's per-layer row arrays for a
+    rows-traced (shape-bucketed) program: data and mask columns pad with 0
+    — masked rows contribute exactly nothing (identity rows in the dense
+    covariance, ``D^{-1} = 0`` in the Titsias ELBO) — and weights with 1
+    (they divide the noise).  Returns a dict of (p, n_rows) jnp arrays."""
+    pad = n_rows - plan.n
+    out = {}
+    for k in _ROW_KEYS:
+        v = np.asarray(plan.xs[k])
+        if pad:
+            cval = 1.0 if k == "w_col" else 0.0
+            v = np.pad(v, ((0, 0), (0, pad)), constant_values=cval)
+        out[k] = jnp.asarray(v)
+    return out
+
+
+def _static_plan_xs(xs_np):
+    """The plan's model-structure scan inputs (everything but the per-row
+    arrays), materialised as constants."""
+    return {
+        k: jnp.asarray(v) for k, v in xs_np.items() if k not in _ROW_KEYS
+    }
+
+
+def _mask_test_cov(cov_t, mt):
+    """Neutralise padded test rows in a predictive covariance: masked
+    rows/columns zero, identity on the padded diagonal.  The factor of the
+    resulting block-diagonal matrix leaves the real block's draws
+    bit-identical to the unpadded program (prefix-stable normals), which
+    is what makes test-row bucketing exact rather than statistical."""
+    if mt is None:
+        return cov_t
+    return cov_t * (mt[:, None] * mt[None, :]) + jnp.diag(1.0 - mt)
 
 
 @dataclass
@@ -425,6 +470,44 @@ def _masked_dense_factors(K, r, mask, noise_w, eps):
     return logpdf, alpha, L
 
 
+def _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps):
+    """Single-device layer NLL + posterior-mean factors in uniform shapes:
+    the sparse (Titsias, ``ops.linalg.titsias_factors``) or masked dense
+    marginal likelihood of layer ``lin`` at parameters ``z_full``, plus
+    the factors :func:`_est_from_factors` turns into posterior-mean
+    estimates for the augmentation step.  Shared by the scan fit body
+    (non-mesh branches) and the free (fix=False) chain objective."""
+    kernel, noise = _layer_kernel(plan, lin, z_full)
+    # Same float32 noise floor as gp/core._noise_vec (f64 no-op) — keeps
+    # scan and unrolled objectives bit-consistent.
+    noise_w = floor_noise(noise / lin["w_col"])
+    omask = lin["obs_mask"]
+    r = lin["y_col"]  # zero-filled; masked rows neutralised
+    if plan.sparse:
+        Kmm = gram(kernel, zi_aug, zi_aug)
+        Kmn = gram(kernel, zi_aug, x_aug)
+        knn = kdiag(kernel, x_aug)
+        elbo, Lm, LB, beta = titsias_factors(
+            Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
+        )
+        return -elbo, (Kmm, Kmn, beta)
+    K = gram(kernel, x_aug, x_aug)
+    logpdf, alpha, _ = _masked_dense_factors(K, r, omask, noise_w, eps)
+    return -logpdf, (K, alpha)
+
+
+def _est_from_factors(plan, factors):
+    """Posterior-mean estimates at the data rows (and inducing points,
+    sparse) from :func:`_layer_nll_factors`'s factors — the quantities the
+    resumable-inputs augmentation step feeds forward
+    (``gpar/model.py:291-322``)."""
+    if plan.sparse:
+        Kmm, Kmn, beta = factors
+        return Kmn.T @ beta, Kmm @ beta
+    K, alpha = factors
+    return K @ alpha, None
+
+
 def _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug):
     """One input-augmentation step in uniform shapes: write the
     (imputed/replaced) output column into the augmented buffers per the
@@ -474,6 +557,91 @@ def _committed_plan_xs(xs_np, mesh):
     return {k: jax.device_put(np.asarray(v), rep) for k, v in xs_np.items()}
 
 
+def _plan_xs(xs_np, xs_dev):
+    """Materialise the plan's per-layer scan inputs inside a trace: the
+    committed replicated device arrays when a mesh is active (see
+    :func:`_committed_plan_xs`), plain constants otherwise."""
+    if xs_dev is not None:
+        return dict(xs_dev)
+    return {k: jnp.asarray(v) for k, v in xs_np.items()}
+
+
+def _pop_x_ind(xs_rows):
+    """Split the traced inducing inputs out of a bucketed row-args dict
+    (``GPARRegressor._bucket_fit_inputs`` adds them for sparse models so
+    the compiled HLO carries NO dataset-dependent constants — inducing
+    inputs are data-derived in every reference workload,
+    ``/root/reference/examples/paper/air_temp.py:33``): they are (M, m),
+    not per-row, so they must not enter the per-layer scan."""
+    if xs_rows is None or "x_ind" not in xs_rows:
+        return xs_rows, None
+    xs_rows = dict(xs_rows)
+    return xs_rows, xs_rows.pop("x_ind")
+
+
+def _zi(x_ind, zi_t, dtype):
+    """The inducing inputs inside a trace: the traced argument when shape
+    bucketing threads one through (:func:`_pop_x_ind`), the build-time
+    constant otherwise."""
+    if zi_t is not None:
+        return zi_t.astype(dtype)
+    return jnp.asarray(x_ind, dtype=dtype)
+
+
+def resolve_sample_chunk(sample_chunk, num_samples, n_test, dtype, budget):
+    """Effective sample-axis chunk for the per-sample serving tails.
+
+    ``sample_chunk`` is ``config.predict_sample_chunk``: ``"auto"`` sizes
+    chunks so ~4 live (chunk, n_test, n_test) buffers — the batched
+    covariance, its PSD factor, and the retry ladder's temporaries in
+    :func:`gpar_tpu.ops.linalg.psd_sample_factor_batched` — fit inside
+    ``budget`` bytes (``config.predict_memory_budget``); an int passes
+    through; ``None``/``0`` disables chunking.  Returns ``None`` when no
+    chunking is needed (the whole batch fits)."""
+    if sample_chunk == "auto":
+        per_sample = 4 * n_test * n_test * np.dtype(dtype).itemsize
+        chunk = max(1, int(budget // max(per_sample, 1)))
+        return None if chunk >= num_samples else chunk
+    if not sample_chunk:
+        return None
+    return int(sample_chunk)
+
+
+def _chunked_batch(batch_fn, xt_b, keys, sample_chunk):
+    """Run a per-sample tail body over the sample axis, optionally in
+    ``lax.map`` chunks of ``sample_chunk`` (peak memory O(chunk · n_test²)
+    per layer instead of O(S · n_test²)).  Shared by the ancestral and
+    prior serving tails; ``batch_fn(xt_b, keys) -> (xt_b, keys, rets)``
+    is the one-vmap body.  Padding replicates the leading samples and is
+    sliced back off, so chunked draws bit-match the unchunked tail per
+    key."""
+    S, n_test, W = xt_b.shape
+    if sample_chunk is None or sample_chunk >= S:
+        return batch_fn(xt_b, keys)
+    pad = (-S) % sample_chunk
+    xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
+    keys_p = jnp.concatenate([keys, keys[:pad]]) if pad else keys
+    nch = (S + pad) // sample_chunk
+
+    def chunk(args):
+        return batch_fn(*args)
+
+    xt_p, keys_p, rets_p = lax.map(
+        chunk,
+        (
+            xt_p.reshape(nch, sample_chunk, n_test, W),
+            # *shape[1:] keeps both key layouts working: raw uint32 keys
+            # are (S, 2), typed PRNG keys are (S,).
+            keys_p.reshape(nch, sample_chunk, *keys_p.shape[1:]),
+        ),
+    )
+    return (
+        xt_p.reshape(-1, n_test, W)[:S],
+        keys_p.reshape(-1, *keys_p.shape[2:])[:S],
+        rets_p.reshape(-1, n_test)[:S],
+    )
+
+
 def make_scan_fit_body(
     plan,
     x_ind,
@@ -484,6 +652,7 @@ def make_scan_fit_body(
     restart_scale,
     mesh=None,
     shard_axis="dp",
+    rows_traced=False,
 ):
     """The traced scan-fused whole-fit body ``(z_all, x, layer_keys) ->
     (z_final, layer_nll, layer_iters, layer_nll0)`` — same contract as
@@ -522,7 +691,7 @@ def make_scan_fit_body(
             n, mesh.devices.size, _cfg.dense_shard_block
         )
 
-    def _scan_chain(z_all, x_local, xs, n_rows):
+    def _scan_chain(z_all, x_local, xs, n_rows, zi_t=None):
         """The shared scan over layers; ``x_local``/(p, n_rows) scan inputs
         may be the full data (single-device) or one shard (mesh mode)."""
         dtype = x_local.dtype
@@ -532,7 +701,7 @@ def make_scan_fit_body(
             [x_local, jnp.zeros((n_rows, W - m), dtype)], axis=1
         )
         if sparse:
-            zi = jnp.asarray(x_ind, dtype=dtype)
+            zi = _zi(x_ind, zi_t, dtype)
             n_ind = zi.shape[0]
             zi_aug = jnp.concatenate(
                 [zi, jnp.zeros((n_ind, W - m), dtype)], axis=1
@@ -541,13 +710,15 @@ def make_scan_fit_body(
             zi_aug = jnp.zeros((0, W), dtype)
 
         def layer_nll_and_factors(lin, z_full, x_aug, zi_aug):
+            if mesh is None:
+                return _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps)
             kernel, noise = _layer_kernel(plan, lin, z_full)
             # Same float32 noise floor as gp/core._noise_vec (f64 no-op) —
             # keeps scan and unrolled objectives bit-consistent.
             noise_w = floor_noise(noise / lin["w_col"])
             omask = lin["obs_mask"]
             r = lin["y_col"]  # zero-filled; masked rows neutralised
-            if sparse and mesh is not None:
+            if sparse:
                 from ..parallel.sharded import titsias_psum_body
 
                 Kmm = gram(kernel, zi_aug, zi_aug)
@@ -559,42 +730,30 @@ def make_scan_fit_body(
                     Lm, A0, knn, r, noise_w, omask, shard_axis
                 )
                 return -elbo, (Kmm, Kmn, beta)
-            if sparse:
-                Kmm = gram(kernel, zi_aug, zi_aug)
-                Kmn = gram(kernel, zi_aug, x_aug)
-                knn = kdiag(kernel, x_aug)
-                elbo, Lm, LB, beta = titsias_factors(
-                    Kmm, Kmn, knn, r, jnp.zeros_like(r), noise_w, mask=omask
-                )
-                return -elbo, (Kmm, Kmn, beta)
-            if mesh is not None:
-                # Distributed masked dense factors: the same construction
-                # as parallel/dense.sharded_dense_factors, but on the
-                # scan's per-layer masks (padding and per_output routing
-                # are both just masked-out identity rows).
-                from ..parallel.dense import _chol_logpdf_core
+            # Distributed masked dense factors: the same construction
+            # as parallel/dense.sharded_dense_factors, but on the
+            # scan's per-layer masks (padding and per_output routing
+            # are both just masked-out identity rows).
+            from ..parallel.dense import _chol_logpdf_core
 
-                n_local = x_aug.shape[0]
-                n_tot = n_local * mesh.devices.size
-                x_full = lax.all_gather(x_aug, shard_axis, axis=0, tiled=True)
-                mask_full = lax.all_gather(omask, shard_axis, axis=0, tiled=True)
-                K_local = gram(kernel, x_aug, x_full)
-                A_local = K_local * (omask[:, None] * mask_full[None, :])
-                grows = lax.axis_index(shard_axis) * n_local + jnp.arange(
-                    n_local
-                )
-                col_is_diag = grows[:, None] == jnp.arange(n_tot)[None, :]
-                diag_term = omask * (noise_w + eps) + (1.0 - omask)
-                A_local = A_local + jnp.where(
-                    col_is_diag, diag_term[:, None], 0.0
-                )
-                logpdf, _L_local, alpha = _chol_logpdf_core(
-                    (shard_axis, dense_block), A_local, r * omask, omask
-                )
-                return -logpdf, (K_local, alpha)
-            K = gram(kernel, x_aug, x_aug)
-            logpdf, alpha, _ = _masked_dense_factors(K, r, omask, noise_w, eps)
-            return -logpdf, (K, alpha)
+            n_local = x_aug.shape[0]
+            n_tot = n_local * mesh.devices.size
+            x_full = lax.all_gather(x_aug, shard_axis, axis=0, tiled=True)
+            mask_full = lax.all_gather(omask, shard_axis, axis=0, tiled=True)
+            K_local = gram(kernel, x_aug, x_full)
+            A_local = K_local * (omask[:, None] * mask_full[None, :])
+            grows = lax.axis_index(shard_axis) * n_local + jnp.arange(
+                n_local
+            )
+            col_is_diag = grows[:, None] == jnp.arange(n_tot)[None, :]
+            diag_term = omask * (noise_w + eps) + (1.0 - omask)
+            A_local = A_local + jnp.where(
+                col_is_diag, diag_term[:, None], 0.0
+            )
+            logpdf, _L_local, alpha = _chol_logpdf_core(
+                (shard_axis, dense_block), A_local, r * omask, omask
+            )
+            return -logpdf, (K_local, alpha)
 
         def step(carry, lin):
             z_ext, x_aug, zi_aug = carry
@@ -623,14 +782,7 @@ def make_scan_fit_body(
             # next input column per the impute/replace rules.
             z_full = z_ext.at[lin["layer_gather"]].set(z_pi_opt)
             _, factors = layer_nll_and_factors(lin, z_full, x_aug, zi_aug)
-            if sparse:
-                Kmm, Kmn, beta = factors
-                est_rows = Kmn.T @ beta  # posterior mean at all n rows
-                est_ind = Kmm @ beta  # ... and at the inducing points
-            else:
-                K, alpha = factors
-                est_rows = K @ alpha
-                est_ind = None
+            est_rows, est_ind = _est_from_factors(plan, factors)
 
             x_aug, zi_aug = _augment_cols(plan, lin, est_rows, est_ind, x_aug, zi_aug)
             return (z_ext, x_aug, zi_aug), (nll_pi, it_pi, nll0_pi)
@@ -641,6 +793,21 @@ def make_scan_fit_body(
         return z_ext[:-1], layer_nll, layer_iters, layer_nll0
 
     if mesh is None:
+        if rows_traced:
+            # Shape-bucketed form: the per-row plan arrays ride in as
+            # traced arguments (padded to the bucket by
+            # :func:`pad_plan_rows`), so the compiled program is
+            # data-independent — one executable per (model structure,
+            # bucket) serves every dataset in the size range.
+
+            def program(z_all, x, layer_keys, xs_rows):
+                xs_rows, zi_t = _pop_x_ind(xs_rows)
+                xs = _static_plan_xs(xs_np)
+                xs.update(xs_rows)
+                xs["key"] = layer_keys
+                return _scan_chain(z_all, x, xs, x.shape[0], zi_t)
+
+            return program
 
         def program(z_all, x, layer_keys):
             xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
@@ -659,7 +826,7 @@ def make_scan_fit_body(
         n_pad = n_dev * _nloc - n
     # Per-layer scan inputs carrying one value per data row (sharded along
     # the row axis); everything else is replicated.
-    row_keys = ("route_mask", "obs_mask", "avail", "y_col", "w_col")
+    row_keys = _ROW_KEYS
 
     from jax.sharding import NamedSharding
 
@@ -800,7 +967,141 @@ def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scal
     return program
 
 
-def make_scan_posterior_factors(plan, x_ind, mesh=None):
+def make_scan_free_fit_body(
+    plan, x_ind, iters, gtol, memory_size, restarts, restart_scale,
+    rows_traced=False,
+):
+    """The scan-fused whole-fit body for ``fit(fix=False)`` — compile
+    O(1) in p.
+
+    Reference semantics (``gpar/regression.py:452-456``): at position pi
+    the objective is the FULL chain marginal likelihood of layers
+    ``0..pi`` re-evaluated from the raw inputs (earlier layers'
+    hyperparameters keep moving and the impute/replace augmentation is
+    recomputed inside every objective evaluation), optimising all latents
+    ``{0..pi}/*`` jointly.  The unrolled builder
+    (``regressor._build_free_fused_fit_body``) traces the layer-0..pi
+    chain once per position — O(p²/2) layer bodies in the compiled
+    program, a compile blow-up at stress scale (p=32).  This makes both
+    axes shape-uniform:
+
+    - the OUTER loop over positions is one ``lax.scan`` whose step runs
+      one L-BFGS on the position's prefix objective (prefix latent spans
+      gathered through per-position index maps padded with the dummy
+      slot, exactly like the per-layer spans of the fixed scan body);
+    - the INNER chain evaluation is one ``lax.scan`` over ALL p layers
+      whose per-layer NLLs are multiplied by a 0/1 *contribution gate*
+      (``gate[pi, l] = l <= pi``) before summing — layers beyond the
+      prefix run but contribute exactly zero, so the gated sum equals the
+      prefix-chain logpdf bit-for-bit (their augmentation writes land in
+      columns the prefix never reads).
+
+    The traded cost is FLOPs, not compile: every objective evaluation
+    runs all p layers (the unrolled body runs pi+1), ~2× the chain work
+    on average — the right trade on TPU, where the unrolled body's
+    O(p²/2) HLO copies dominate end-to-end time through XLA compilation
+    long before the MXU is the bottleneck.  Contract and outputs match
+    ``_build_free_fused_fit_body`` (the reported ``layer_nll`` is the
+    full prefix-chain NLL per position); oracle-tested against the
+    per-layer driver (``tests/test_fused_scan.py::
+    test_free_fused_fit_matches_driver``).  Single-device only: under an
+    active mesh the estimator falls back to the unrolled free body,
+    which shards its per-layer statistics through the GP core.
+    """
+    m, p, W, n = plan.m, plan.p, plan.W, plan.n
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    # Per-position prefix gathers (the names=[f"{i}/*" for i in 0..pi]
+    # filter) padded with the dummy slot.  Spans are disjoint by
+    # construction (scale_tie's shared variable lives in layer 0's span),
+    # so the prefix is the concatenation of the per-layer spans.
+    lg = np.asarray(xs_np["layer_gather"])  # (p, s_max), dummy-padded
+    dummy = plan.n_z
+    prefix_gather = np.full((p, plan.n_z), dummy, dtype=np.int32)
+    for pi in range(p):
+        idx = np.concatenate([row[row != dummy] for row in lg[: pi + 1]])
+        prefix_gather[pi, : len(idx)] = idx
+
+    def program(z_all, x, layer_keys, xs_rows=None):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        gates = jnp.asarray(
+            np.tril(np.ones((p, p))), dtype=dtype
+        )  # gates[pi, l] = layer l contributes at position pi
+        pg_all = jnp.asarray(prefix_gather)
+        x_aug0 = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+        )
+        if sparse:
+            zi = _zi(x_ind, zi_t, dtype)
+            zi_aug0 = jnp.concatenate(
+                [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug0 = jnp.zeros((0, W), dtype)
+
+        def chain_nll(z_ext, gate):
+            """Gated full-chain NLL: one scan over ALL p layers from the
+            raw inputs (the reference's full re-evaluation per objective
+            call, ``gpar/regression.py:452-456``)."""
+
+            def step(carry, lin_g):
+                lin, g = lin_g
+                x_aug, zi_aug = carry
+                nll, factors = _layer_nll_factors(
+                    plan, lin, z_ext, x_aug, zi_aug, eps
+                )
+                est_rows, est_ind = _est_from_factors(plan, factors)
+                x_aug, zi_aug = _augment_cols(
+                    plan, lin, est_rows, est_ind, x_aug, zi_aug
+                )
+                return (x_aug, zi_aug), g * nll
+
+            _, nlls = lax.scan(step, (x_aug0, zi_aug0), (xs, gate))
+            return jnp.sum(nlls)
+
+        def position_step(z_ext, pin):
+            pg, gate, key = pin
+
+            def obj(z_sub):
+                # Padded slots all alias the dummy latent (last-wins
+                # garbage there feeds only gated-out kernel fields — the
+                # same construction the fixed scan body uses).
+                z_full = z_ext.at[pg].set(z_sub)
+                return chain_nll(z_full, gate)
+
+            z0_sub = z_ext[pg]
+            z_sub_opt, nll_pi, it_pi, nll0_pi = lbfgs_traced_restarts(
+                obj,
+                z0_sub,
+                key,
+                restarts,
+                restart_scale=restart_scale,
+                iters=iters,
+                gtol=gtol,
+                memory_size=memory_size,
+            )
+            z_ext = z_ext.at[pg].set(z_sub_opt)
+            z_ext = z_ext.at[-1].set(0.0)
+            return z_ext, (nll_pi, it_pi, nll0_pi)
+
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        z_ext, (layer_nll, layer_iters, layer_nll0) = lax.scan(
+            position_step, z_ext, (pg_all, gates, layer_keys)
+        )
+        return z_ext[:-1], layer_nll, layer_iters, layer_nll0
+
+    return program
+
+
+def make_scan_posterior_factors(plan, x_ind, mesh=None, rows_traced=False):
     """Stage A of the split serving path: per-layer posterior factors.
 
     Runs the conditioning half of the serving path — the closed-downwards
@@ -834,23 +1135,29 @@ def make_scan_posterior_factors(plan, x_ind, mesh=None):
     xs_np = plan.xs
     xs_dev = _committed_plan_xs(xs_np, mesh)
 
-    def factors(z_all, x):
+    def factors(z_all, x, xs_rows=None):
         dtype = x.dtype
         eps = resolve_epsilon(dtype)
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
-        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        x_aug = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+        )
         if sparse:
-            zi = jnp.asarray(x_ind, dtype=dtype)
+            zi = _zi(x_ind, zi_t, dtype)
             zi_aug = jnp.concatenate(
                 [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
             )
         else:
             zi_aug = jnp.zeros((0, W), dtype)
-        xs = (
-            dict(xs_dev)
-            if xs_dev is not None
-            else {k: jnp.asarray(v) for k, v in xs_np.items()}
-        )
+        if rows_traced:
+            # Shape-bucketed form: padded per-row arrays ride in as
+            # traced arguments (see pad_plan_rows) — the program is
+            # data-independent and keyed on the bucket only.
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = _plan_xs(xs_np, xs_dev)
 
         def step(carry, lin):
             x_aug, zi_aug = carry
@@ -885,7 +1192,7 @@ def make_scan_posterior_factors(plan, x_ind, mesh=None):
     return factors
 
 
-def make_scan_cached_tail(plan, latent, mesh=None):
+def make_scan_cached_tail(plan, latent, mesh=None, rows_traced=False):
     """Stage B of the split serving path: Monte-Carlo predictive sampling
     from the cached per-layer factors of
     :func:`make_scan_posterior_factors`.
@@ -908,18 +1215,21 @@ def make_scan_cached_tail(plan, latent, mesh=None):
     xs_np = plan.xs
     xs_dev = _committed_plan_xs(xs_np, mesh)
 
-    def tail(z_all, factors, x_test, w_test_T, keys):
+    def tail(z_all, factors, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x_test.dtype
         n_test = x_test.shape[0]
+        # Conditioning already happened (the factors); the traced inducing
+        # inputs, if threaded, are unused here — discard before the scan.
+        xs_rows, _ = _pop_x_ind(xs_rows)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
         xt_aug = jnp.concatenate(
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
-        xs = (
-            dict(xs_dev)
-            if xs_dev is not None
-            else {k: jnp.asarray(v) for k, v in xs_np.items()}
-        )
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = _plan_xs(xs_np, xs_dev)
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
         xs["fac"] = factors
 
@@ -938,6 +1248,7 @@ def make_scan_cached_tail(plan, latent, mesh=None):
                 mean_t = Kxt.T @ fac["alpha"]
                 V = solve_lower(fac["L"], Kxt)
                 cov_t = gram(kernel, xt_aug, xt_aug) - V.T @ V
+            cov_t = _mask_test_cov(cov_t, mt)
 
             if latent:
                 F = psd_sample_factor(cov_t)
@@ -966,7 +1277,9 @@ def make_scan_cached_tail(plan, latent, mesh=None):
     return tail
 
 
-def make_scan_ancestral_tail(plan, latent, sample_chunk=None, mesh=None):
+def make_scan_ancestral_tail(
+    plan, latent, sample_chunk=None, mesh=None, rows_traced=False
+):
     """Per-sample ancestral chains from cached posterior factors — the
     scan-fused serving tail for ``replace=False`` (the reference's DEFAULT
     predictive configuration: EEG/exchange/jura all serve with it).
@@ -1007,20 +1320,23 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None, mesh=None):
     xs_np = plan.xs
     xs_dev = _committed_plan_xs(xs_np, mesh)
 
-    def tail(z_all, factors, x_test, w_test_T, keys):
+    def tail(z_all, factors, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x_test.dtype
         n_test = x_test.shape[0]
         S = keys.shape[0]
+        # Conditioning already happened (the factors); the traced inducing
+        # inputs, if threaded, are unused here — discard before the scan.
+        xs_rows, _ = _pop_x_ind(xs_rows)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
         xt0 = jnp.concatenate(
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
-        xs = (
-            dict(xs_dev)
-            if xs_dev is not None
-            else {k: jnp.asarray(v) for k, v in xs_np.items()}
-        )
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = _plan_xs(xs_np, xs_dev)
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
         xs["fac"] = factors
 
@@ -1046,7 +1362,7 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None, mesh=None):
                     mean_t = Kxt.T @ fac["alpha"]
                     V = solve_lower(fac["L"], Kxt)
                     cov_t = gram(kernel, xt_s, xt_s) - V.T @ V
-                return mean_t, cov_t
+                return mean_t, _mask_test_cov(cov_t, mt)
 
             def draw(xt_s, key, mean_t, F):
                 ks = jax.random.split(key, 3)
@@ -1085,31 +1401,7 @@ def make_scan_ancestral_tail(plan, latent, sample_chunk=None, mesh=None):
                 F_b = psd_sample_factor_batched(cov_b)
                 return jax.vmap(draw)(xt_b, keys, mean_b, F_b)
 
-            if sample_chunk is None or sample_chunk >= S:
-                xt_b, keys, rets = batch(xt_b, keys)
-            else:
-                pad = (-S) % sample_chunk
-                xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
-                keys_p = (
-                    jnp.concatenate([keys, keys[:pad]]) if pad else keys
-                )
-                nch = (S + pad) // sample_chunk
-
-                def chunk(args):
-                    return batch(*args)
-
-                xt_p, keys_p, rets_p = lax.map(
-                    chunk,
-                    (
-                        xt_p.reshape(nch, sample_chunk, n_test, W),
-                        # *shape[1:] keeps both key layouts working: raw
-                        # uint32 keys are (S, 2), typed PRNG keys are (S,).
-                        keys_p.reshape(nch, sample_chunk, *keys_p.shape[1:]),
-                    ),
-                )
-                xt_b = xt_p.reshape(-1, n_test, W)[:S]
-                keys = keys_p.reshape(-1, *keys_p.shape[2:])[:S]
-                rets = rets_p.reshape(-1, n_test)[:S]
+            xt_b, keys, rets = _chunked_batch(batch, xt_b, keys, sample_chunk)
             return (xt_b, keys), rets
 
         _, ys_stack = lax.scan(step, (xt_b, keys), xs)  # (p, S, n_test)
@@ -1152,7 +1444,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
     xs_np = plan.xs
     xs_dev = _committed_plan_xs(xs_np, mesh)
 
-    def tail(z_all, x_test, w_test_T, keys):
+    def tail(z_all, x_test, w_test_T, keys, mt=None):
         dtype = x_test.dtype
         n_test = x_test.shape[0]
         S = keys.shape[0]
@@ -1161,11 +1453,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
-        xs = (
-            dict(xs_dev)
-            if xs_dev is not None
-            else {k: jnp.asarray(v) for k, v in xs_np.items()}
-        )
+        xs = _plan_xs(xs_np, xs_dev)
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
 
         def step(carry, lin):
@@ -1200,7 +1488,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
                 # Factorisations batched outside the sample vmap — see
                 # make_scan_ancestral_tail (PERF.md finding 9).
                 cov_b = jax.vmap(
-                    lambda xt_s: gram(kernel, xt_s, xt_s)
+                    lambda xt_s: _mask_test_cov(gram(kernel, xt_s, xt_s), mt)
                 )(xt_b)
                 if not latent:
                     cov_b = cov_b + jnp.diag(
@@ -1209,31 +1497,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
                 F_b = psd_sample_factor_batched(cov_b)
                 return jax.vmap(draw)(xt_b, keys, F_b)
 
-            if sample_chunk is None or sample_chunk >= S:
-                xt_b, keys, rets = batch(xt_b, keys)
-            else:
-                pad = (-S) % sample_chunk
-                xt_p = jnp.concatenate([xt_b, xt_b[:pad]]) if pad else xt_b
-                keys_p = (
-                    jnp.concatenate([keys, keys[:pad]]) if pad else keys
-                )
-                nch = (S + pad) // sample_chunk
-
-                def chunk(args):
-                    return batch(*args)
-
-                xt_p, keys_p, rets_p = lax.map(
-                    chunk,
-                    (
-                        xt_p.reshape(nch, sample_chunk, n_test, W),
-                        # *shape[1:] keeps both key layouts working: raw
-                        # uint32 keys are (S, 2), typed PRNG keys are (S,).
-                        keys_p.reshape(nch, sample_chunk, *keys_p.shape[1:]),
-                    ),
-                )
-                xt_b = xt_p.reshape(-1, n_test, W)[:S]
-                keys = keys_p.reshape(-1, *keys_p.shape[2:])[:S]
-                rets = rets_p.reshape(-1, n_test)[:S]
+            xt_b, keys, rets = _chunked_batch(batch, xt_b, keys, sample_chunk)
             return (xt_b, keys), rets
 
         _, ys_stack = lax.scan(step, (xt_b, keys), xs)  # (p, S, n_test)
@@ -1242,7 +1506,7 @@ def make_scan_prior_tail(plan, latent, sample_chunk=None, mesh=None):
     return tail
 
 
-def make_scan_predict_tail(plan, x_ind, latent, mesh=None):
+def make_scan_predict_tail(plan, x_ind, latent, mesh=None, rows_traced=False):
     """Scan-fused posterior conditioning + Monte-Carlo predictive sampling.
 
     The round-1 serving path unrolls the p-layer chain twice in Python —
@@ -1288,28 +1552,31 @@ def make_scan_predict_tail(plan, x_ind, latent, mesh=None):
     xs_np = plan.xs
     xs_dev = _committed_plan_xs(xs_np, mesh)
 
-    def tail(z_all, x, x_test, w_test_T, keys):
+    def tail(z_all, x, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x.dtype
         eps = resolve_epsilon(dtype)
         n_test = x_test.shape[0]
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
-        x_aug = jnp.concatenate([x, jnp.zeros((n, W - m), dtype)], axis=1)
+        x_aug = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+        )
         xt_aug = jnp.concatenate(
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         if sparse:
-            zi = jnp.asarray(x_ind, dtype=dtype)
+            zi = _zi(x_ind, zi_t, dtype)
             zi_aug = jnp.concatenate(
                 [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
             )
         else:
             zi_aug = jnp.zeros((0, W), dtype)
 
-        xs = (
-            dict(xs_dev)
-            if xs_dev is not None
-            else {k: jnp.asarray(v) for k, v in xs_np.items()}
-        )
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = _plan_xs(xs_np, xs_dev)
         xs["w_t"] = jnp.asarray(w_test_T, dtype=dtype)  # (p, n_test)
 
         def step(carry, lin):
@@ -1351,6 +1618,7 @@ def make_scan_predict_tail(plan, x_ind, latent, mesh=None):
                 est_rows = K @ alpha
                 est_ind = None
 
+            cov_t = _mask_test_cov(cov_t, mt)
             # One joint MVN draw per sample: latent returns the noiseless
             # f-sample, observed adds the per-point noise to the covariance
             # (``gpar/model.py:259-276``); with replace=True neither feeds

@@ -358,6 +358,9 @@ class GPARRegressor:
         # Single-slot device-side posterior-factor cache (the repeated-
         # serving fast path; see _posterior_factors / precompute()).
         self._factor_cache = None
+        # Single-slot padded-input cache for the shape-bucketed programs
+        # (see _bucket_fit_inputs).
+        self._bucket_cache = None
         self._vars_ready = None
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
@@ -513,6 +516,7 @@ class GPARRegressor:
         # Posterior factors belong to the previous dataset; release the
         # device memory eagerly (the key would miss anyway).
         self._factor_cache = None
+        self._bucket_cache = None
 
     def fit(self, x, y, w=None, greedy=False, fix=True, **kw_args):
         """Fit the model to data (``gpar/regression.py:391-459``).
@@ -613,81 +617,55 @@ class GPARRegressor:
         Returns:
             np.ndarray: permutation; layer ``pi`` models output ``ret[pi]``.
         """
-        from ..config import config as _cfg
-
         y_np = np.asarray(self.y)  # transformed + normalised
         w_np = np.asarray(self.w)
         x_np = np.asarray(self.x)
         remaining = list(range(self.p))
         selected = []
-        # Single-device: ONE compiled program per position scores ALL
-        # remaining candidates (padded rows + masks, candidates vmapped) —
-        # compile count O(p) even under heterogeneous missingness, where
-        # the per-candidate scorer's shape-keyed jits are O(p^2).  Under an
-        # active mesh the per-candidate scorer remains: it shards its
-        # Titsias statistics through PseudoObs, which a vmapped body
-        # cannot.
-        batched = _cfg.mesh is None
+        # ONE compiled program per position scores ALL remaining candidates
+        # (padded rows + masks, candidates vmapped) — compile count O(p)
+        # even under heterogeneous missingness, where the per-candidate
+        # scorer's shape-keyed jits are O(p^2).  Under an active mesh the
+        # CANDIDATE axis is sharded over the devices (each chip optimises
+        # its share of the candidates; same full-row masked math as
+        # single-device, so the two contexts recover identical orderings);
+        # the per-candidate scorer (`_greedy_layer_nll`) survives as the
+        # filtered-row oracle only.
         for position in range(self.p):
-            if batched:
-                masks = np.stack(
-                    [
-                        ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
-                        for o in remaining
-                    ]
+            masks = np.stack(
+                [
+                    ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
+                    for o in remaining
+                ]
+            )
+            n_obs = masks.sum(axis=1)
+            # Rows with any selected output missing are masked out of
+            # every candidate's likelihood, so zero-filling the NaNs
+            # only feeds neutralised rows.
+            x_aug = np.concatenate(
+                [x_np, np.nan_to_num(y_np[:, selected], nan=0.0)], axis=1
+            )
+            nlls = self._greedy_position_nlls(
+                position,
+                x_aug,
+                np.nan_to_num(y_np[:, remaining].T, nan=0.0),
+                w_np[:, remaining].T,
+                masks,
+                iters,
+                gtol,
+                memory_size,
+            )
+            # Per-observation scores keep candidates with different
+            # missingness comparable; empty candidates AND diverged
+            # candidates (non-finite optimised NLL) score -inf — a
+            # lexicographic argmax would otherwise PICK a NaN.
+            # Ties/all-empty resolve to the first remaining index.
+            with np.errstate(invalid="ignore"):
+                scores = np.where(
+                    n_obs > 0, -nlls / np.maximum(n_obs, 1), -np.inf
                 )
-                n_obs = masks.sum(axis=1)
-                # Rows with any selected output missing are masked out of
-                # every candidate's likelihood, so zero-filling the NaNs
-                # only feeds neutralised rows.
-                x_aug = np.concatenate(
-                    [x_np, np.nan_to_num(y_np[:, selected], nan=0.0)], axis=1
-                )
-                nlls = self._greedy_position_nlls(
-                    position,
-                    x_aug,
-                    np.nan_to_num(y_np[:, remaining].T, nan=0.0),
-                    w_np[:, remaining].T,
-                    masks,
-                    iters,
-                    gtol,
-                    memory_size,
-                )
-                # Per-observation scores keep candidates with different
-                # missingness comparable; empty candidates AND diverged
-                # candidates (non-finite optimised NLL) score -inf — the
-                # sequential scorer's `score > best_score` comparison skips
-                # NaN scores, and np.argmax would otherwise PICK a NaN.
-                # Ties/all-empty resolve to the first remaining index,
-                # matching the sequential scorer's iteration order.
-                with np.errstate(invalid="ignore"):
-                    scores = np.where(
-                        n_obs > 0, -nlls / np.maximum(n_obs, 1), -np.inf
-                    )
-                scores = np.where(np.isfinite(scores), scores, -np.inf)
-                best_o = remaining[int(np.argmax(scores))]
-            else:
-                best_o, best_score = remaining[0], -np.inf
-                for o in remaining:
-                    obs_mask = ~np.isnan(y_np[:, selected + [o]]).any(axis=1)
-                    n_obs = int(obs_mask.sum())
-                    if n_obs == 0:
-                        continue
-                    x_aug = np.concatenate(
-                        [x_np[obs_mask], y_np[obs_mask][:, selected]], axis=1
-                    )
-                    nll = self._greedy_layer_nll(
-                        position,
-                        x_aug,
-                        y_np[obs_mask, o],
-                        w_np[obs_mask, o],
-                        iters,
-                        gtol,
-                        memory_size,
-                    )
-                    score = -nll / n_obs
-                    if score > best_score:
-                        best_o, best_score = o, score
+            scores = np.where(np.isfinite(scores), scores, -np.inf)
+            best_o = remaining[int(np.argmax(scores))]
             selected.append(best_o)
             remaining.remove(best_o)
         return np.asarray(selected)
@@ -703,12 +681,31 @@ class GPARRegressor:
         (a throwaway store, as the per-candidate scorer uses), so scores
         stay comparable; the jitted program is keyed on (position,
         n_candidates) only — data rides in as traced arguments.
+
+        Under an active mesh the CANDIDATE axis is sharded over the
+        devices: the candidate arrays are padded to a mesh multiple (by
+        replicating candidate 0 — surplus scores are sliced off) and
+        installed with explicit shardings, so GSPMD partitions the vmapped
+        L-BFGS along candidates — per-device work O(C/P), one compile per
+        position, and bit-identical full-row math to the single-device
+        scorer (the two contexts recover the same ordering).
         """
+        from ..config import config as _cfg
+
         vs = Vars()
         _model_generator(vs, self.m, position, **self.model_config)()
         names = vs.select(None)
         z0 = vs.latent_vector(names)
         dtype = self.x.dtype
+        mesh = _cfg.mesh
+        c_pad = 0
+        if mesh is not None:
+            c_pad = (-ys.shape[0]) % mesh.devices.size
+            if c_pad:
+                pad = lambda a: np.concatenate(
+                    [a, np.repeat(a[:1], c_pad, axis=0)]
+                )
+                ys, ws, masks = pad(ys), pad(ws), pad(masks)
         C, n = ys.shape
 
         cache_key = (
@@ -786,15 +783,28 @@ class GPARRegressor:
 
             fn = jax.jit(program)
             self._jit_cache[cache_key] = fn
-        return np.asarray(
-            fn(
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            cand = NamedSharding(mesh, PartitionSpec(_cfg.shard_axis))
+            rep = NamedSharding(mesh, PartitionSpec())
+            args = (
+                jax.device_put(z0, rep),
+                jax.device_put(jnp.asarray(x_aug, dtype=dtype), rep),
+                jax.device_put(jnp.asarray(ys, dtype=dtype), cand),
+                jax.device_put(jnp.asarray(ws, dtype=dtype), cand),
+                jax.device_put(jnp.asarray(masks, dtype=dtype), cand),
+            )
+        else:
+            args = (
                 z0,
                 jnp.asarray(x_aug, dtype=dtype),
                 jnp.asarray(ys, dtype=dtype),
                 jnp.asarray(ws, dtype=dtype),
                 jnp.asarray(masks, dtype=dtype),
             )
-        )
+        nlls = np.asarray(fn(*args))
+        return nlls[: C - c_pad] if c_pad else nlls
 
     def _greedy_layer_nll(self, pi, x_aug, y_t, w_t, iters, gtol, memory_size):
         """Optimised single-layer NLL for one greedy candidate.
@@ -890,7 +900,7 @@ class GPARRegressor:
                 restarts=restarts,
                 restart_scale=restart_scale,
                 key=key,
-                scan=fix and self._use_scan_body(fused),
+                scan=self._use_scan_body(fused),
                 fix=fix,
             )
             return
@@ -1061,11 +1071,28 @@ class GPARRegressor:
             key = next_key()
         layer_keys = self._fit_layer_keys(key, restarts)
 
+        # Shape-bucketed compilation (config.shape_buckets, single-device
+        # scan bodies): rows pad to a geometric bucket and the data rides
+        # in as traced arguments, so the compiled program is keyed on the
+        # BUCKET, not the dataset — a second dataset with any row count
+        # inside the bucket reuses the executable (in-process via
+        # _jit_cache, cross-process via the persistent XLA cache, whose
+        # HLO is now data-independent).
+        bucketed = self._fit_bucketed(scan)
+        if bucketed:
+            from .fused import build_scan_fit_plan
+
+            plan = build_scan_fit_plan(self, all_names)
+            n_b, x_fit, xs_rows = self._bucket_fit_inputs(plan)
+        else:
+            n_b, x_fit, xs_rows = self.n, self.x, None
+
         cache_key = (
             "fit_fused",
             scan,
             fix,
-            self.n,
+            bucketed,
+            n_b,
             self.m,
             p,
             iters,
@@ -1074,7 +1101,7 @@ class GPARRegressor:
             restarts,
             restart_scale,
             mesh_descriptor(),
-            self._data_fingerprint,
+            None if bucketed else self._data_fingerprint,
         )
         fit_fn = self._jit_cache.get(cache_key)
         if fit_fn is None:
@@ -1088,15 +1115,17 @@ class GPARRegressor:
                 restart_scale,
                 scan,
                 fix,
+                rows_traced=bucketed,
             )
             fit_fn = jax.jit(program)
             self._jit_cache[cache_key] = fit_fn
         import time as _time
 
         t0 = _time.time()
-        z_final, layer_nll, layer_iters, layer_nll0 = fit_fn(
-            self.vs.latent_vector(all_names), self.x, layer_keys
-        )
+        args = (self.vs.latent_vector(all_names), x_fit, layer_keys)
+        if bucketed:
+            args = args + (xs_rows,)
+        z_final, layer_nll, layer_iters, layer_nll0 = fit_fn(*args)
         jax.block_until_ready(z_final)
         self.vs.set_latent_vector(all_names, z_final)
         # Structured fit observability (SURVEY.md §5: the reference logs
@@ -1130,12 +1159,33 @@ class GPARRegressor:
         restart_scale,
         scan,
         fix=True,
+        rows_traced=False,
     ):
         """Whole-fit body builder: the scan (shape-uniform, one compiled
         layer body — ``models/fused.py``), the round-1 unrolled variant
         (one body per layer; shards under an active mesh), or the
-        free (fix=False) full-chain variant."""
+        free (fix=False) full-chain variant (scan-fused single-device,
+        unrolled under a mesh)."""
         if not fix:
+            from ..config import config as _cfg
+
+            if scan == "batched":
+                raise ValueError(
+                    "fused='batched' requires independent layer fits; "
+                    "fit(fix=False) optimises layers jointly — use "
+                    "fused=True or fused='unroll'."
+                )
+            if scan and _cfg.mesh is None:
+                from .fused import (
+                    build_scan_fit_plan,
+                    make_scan_free_fit_body,
+                )
+
+                plan = build_scan_fit_plan(self, all_names)
+                return make_scan_free_fit_body(
+                    plan, self.x_ind, iters, gtol, memory_size, restarts,
+                    restart_scale, rows_traced=rows_traced,
+                )
             return self._build_free_fused_fit_body(
                 y_cached, all_names, iters, gtol, memory_size, restarts,
                 restart_scale,
@@ -1155,6 +1205,7 @@ class GPARRegressor:
             return make_scan_fit_body(
                 plan, self.x_ind, iters, gtol, memory_size, restarts,
                 restart_scale, mesh=_cfg.mesh, shard_axis=_cfg.shard_axis,
+                rows_traced=rows_traced,
             )
         return self._build_fused_fit_body(
             y_cached, all_names, iters, gtol, memory_size, restarts, restart_scale
@@ -1261,9 +1312,11 @@ class GPARRegressor:
         ``minimise_l_bfgs_b`` returns on this path).
 
         Compile-size note: the traced program contains the layer-0..pi
-        chain once per layer — O(p^2/2) layer bodies.  The reference
-        workload using fix=False (Jura) has p=3; for large p prefer
-        ``fix=True`` (the reference's fast path) or ``fused=False``.
+        chain once per layer — O(p^2/2) layer bodies.  The scan-fused
+        free body (``fused.make_scan_free_fit_body``) compiles O(1) in p
+        and is the single-device default; this unrolled variant remains
+        the ``fused="unroll"`` oracle and the mesh path (its per-layer
+        statistics shard through the GP core's mesh dispatch).
         """
         p, m = self.p, self.m
 
@@ -1364,34 +1417,7 @@ class GPARRegressor:
             )
         scan = self._use_scan_body(fused)
 
-        from ..config import config as _pre_cfg
-
-        if key is None:
-            key = next_key()
-        fit_key, sample_key = jax.random.split(key)
-        layer_keys = self._fit_layer_keys(fit_key, restarts)
-        n_keys = num_samples
-        if _pre_cfg.mesh is not None:
-            # Pad the key batch to a mesh multiple and shard it: each chip
-            # draws its share of the Monte-Carlo samples; the surplus is
-            # sliced off before the on-device reduction.
-            size = _pre_cfg.mesh.devices.size
-            n_keys = num_samples + (-num_samples) % size
-        keys = jax.random.split(sample_key, n_keys)
-        if _pre_cfg.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            keys = jax.device_put(
-                keys,
-                NamedSharding(
-                    _pre_cfg.mesh, PartitionSpec(_pre_cfg.shard_axis)
-                ),
-            )
-        if w_test is None:
-            w_test = jnp.ones((x_test.shape[0], self.p), dtype=x_test.dtype)
-        else:
-            w_test = self._permute_outputs(_uprank(_to_jnp(w_test)))
-
+        from ..config import bucket_rows, bucket_samples
         from ..config import config as _cfg
 
         # Scan-fused serving: conditioning + the whole MC predictive
@@ -1404,41 +1430,125 @@ class GPARRegressor:
         # active mesh the fit body runs inside one shard_map
         # (_build_fit_body) and the serving tail runs GSPMD-partitioned:
         # per-layer factors replicate, the sharded key batch keeps the
-        # sample axis distributed.
+        # sample axis distributed.  Single-device, the whole program is
+        # SHAPE-BUCKETED by default (config.shape_buckets): rows, test
+        # rows, and the sample count pad to buckets with the data traced
+        # as arguments, so one compiled executable serves every dataset
+        # in the size range (VERDICT r3 №1).
         scan_tail = scan and _cfg.scan_predict
+        plan = None
+        bucketed = False
+        n_b = self.n
+        if scan_tail:
+            from .fused import build_scan_fit_plan
+
+            plan = build_scan_fit_plan(self, all_names)
+            bucketed = self._fit_bucketed(scan)
+            if bucketed:
+                n_b = bucket_rows(self.n)
+            if not self.replace and not self._factor_stack_fits(
+                plan, n_rows=n_b
+            ):
+                # Falls back to the unrolled chain when a dense stack is
+                # too large to materialise.
+                scan_tail = False
+                bucketed = False
+                n_b = self.n
+
+        if key is None:
+            key = next_key()
+        fit_key, sample_key = jax.random.split(key)
+        layer_keys = self._fit_layer_keys(fit_key, restarts)
+        n_keys = num_samples
+        if _cfg.mesh is not None:
+            # Pad the key batch to a mesh multiple and shard it: each chip
+            # draws its share of the Monte-Carlo samples; the surplus is
+            # sliced off before the on-device reduction.
+            size = _cfg.mesh.devices.size
+            n_keys = num_samples + (-num_samples) % size
+        elif bucketed:
+            # Pad the key batch to the sample bucket; surplus draws are
+            # invalidated before the on-device reduction (prefix-stable
+            # key splitting keeps the real draws identical).
+            n_keys = bucket_samples(num_samples)
+        keys = jax.random.split(sample_key, n_keys)
+        if _cfg.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            keys = jax.device_put(
+                keys,
+                NamedSharding(
+                    _cfg.mesh, PartitionSpec(_cfg.shard_axis)
+                ),
+            )
+
+        # Padded test inputs + row/sample validity masks (bucketed mode).
+        n_test = x_test.shape[0]
+        nt_b = bucket_rows(n_test) if bucketed else n_test
+        dtype = x_test.dtype
+        if bucketed:
+            if nt_b > n_test:
+                x_test_in = jnp.asarray(
+                    np.pad(np.asarray(x_test), ((0, nt_b - n_test), (0, 0)))
+                )
+            else:
+                x_test_in = x_test
+            mt = jnp.asarray((np.arange(nt_b) < n_test).astype(dtype))
+            ms = jnp.asarray((np.arange(n_keys) < num_samples).astype(dtype))
+            _, x_fit, xs_rows = self._bucket_fit_inputs(plan)
+        else:
+            x_test_in, mt, ms = x_test, None, None
+            x_fit, xs_rows = self.x, None
+        if w_test is None:
+            w_test = jnp.ones((nt_b, self.p), dtype=dtype)
+        else:
+            w_test = self._permute_outputs(_uprank(_to_jnp(w_test)))
+            if bucketed and nt_b > n_test:
+                # Pad weights with 1 (they divide the noise).
+                w_test = jnp.concatenate(
+                    [w_test, jnp.ones((nt_b - n_test, self.p), dtype=dtype)]
+                )
 
         cache_factors = False
         if scan_tail and not self.replace:
-            # Per-sample ancestral serving from the factor stack; falls
-            # back to the unrolled chain when a dense stack is too large
-            # to materialise.
+            # Per-sample ancestral serving from the factor stack.
             from .fused import (
-                build_scan_fit_plan,
                 make_scan_ancestral_tail,
                 make_scan_posterior_factors,
+                resolve_sample_chunk,
             )
 
-            plan = build_scan_fit_plan(self, all_names)
-            if not self._factor_stack_fits(plan):
-                scan_tail = False
-            else:
-                fit_body = self._build_fit_body(
-                    y_cached, all_names, iters, gtol, memory_size,
-                    restarts, restart_scale, scan,
-                )
-                factors_fn = make_scan_posterior_factors(
-                    plan, self.x_ind, mesh=_cfg.mesh
-                )
-                anc_tail = make_scan_ancestral_tail(
-                    plan, latent, sample_chunk=_cfg.predict_sample_chunk,
-                    mesh=_cfg.mesh,
-                )
-                cache_factors = self._factor_cache_eligible(plan)
+            fit_body = self._build_fit_body(
+                y_cached, all_names, iters, gtol, memory_size,
+                restarts, restart_scale, scan, rows_traced=bucketed,
+            )
+            factors_fn = make_scan_posterior_factors(
+                plan, self.x_ind, mesh=_cfg.mesh, rows_traced=bucketed
+            )
+            anc_tail = make_scan_ancestral_tail(
+                plan, latent,
+                sample_chunk=resolve_sample_chunk(
+                    _cfg.predict_sample_chunk, n_keys, nt_b, dtype,
+                    _cfg.predict_memory_budget,
+                ),
+                mesh=_cfg.mesh, rows_traced=bucketed,
+            )
+            cache_factors = self._factor_cache_eligible(plan, n_rows=n_b)
 
-                def program(
-                    z0, x_arr, x_test, w_test, keys, layer_keys,
-                    _cache=cache_factors,
-                ):
+            def program(
+                z0, x_arr, x_test, w_test, keys, layer_keys,
+                xs_rows=None, mt=None, ms=None, nstats=None,
+                _cache=cache_factors,
+            ):
+                if bucketed:
+                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
+                        z0, x_arr, layer_keys, xs_rows
+                    )
+                    factors = factors_fn(z_final, x_arr, xs_rows)
+                    batch = anc_tail(
+                        z_final, factors, x_test, w_test.T, keys, xs_rows, mt
+                    )
+                else:
                     z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
                         z0, x_arr, layer_keys
                     )
@@ -1446,29 +1556,23 @@ class GPARRegressor:
                     batch = anc_tail(
                         z_final, factors, x_test, w_test.T, keys
                     )
-                    batch = batch[:num_samples]  # drop mesh-padding surplus
-                    batch = self._untransform_y(self._unnormalise_y(batch))
-                    mean = jnp.mean(batch, axis=0)
-                    lowers = jnp.percentile(batch, 2.5, axis=0)
-                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
-                    return (
-                        z_final, layer_nll, layer_iters, layer_nll0,
-                        mean, lowers, uppers,
-                        factors if _cache else None,
-                    )
+                mean, lowers, uppers = self._mc_stats(
+                    self._undo_t(batch, nstats), num_samples, ms,
+                )
+                return (
+                    z_final, layer_nll, layer_iters, layer_nll0,
+                    mean, lowers, uppers,
+                    factors if _cache else None,
+                )
 
         if scan_tail and self.replace:
-            from .fused import (
-                build_scan_fit_plan,
-                make_scan_predict_tail,
-            )
+            from .fused import make_scan_predict_tail
 
-            plan = build_scan_fit_plan(self, all_names)
             # _build_fit_body threads the active mesh into the scan body
             # (shard_map'd fit; the serving tail below stays GSPMD).
             fit_body = self._build_fit_body(
                 y_cached, all_names, iters, gtol, memory_size, restarts,
-                restart_scale, scan,
+                restart_scale, scan, rows_traced=bucketed,
             )
             # When the posterior-factor cache is eligible, run the split
             # serving tail and RETURN the factors so follow-up predict/
@@ -1476,7 +1580,7 @@ class GPARRegressor:
             # single-scan tail remains for big dense stacks, where
             # materialising p (n, n) factors would cost more HBM than the
             # cache saves.
-            cache_factors = self._factor_cache_eligible(plan)
+            cache_factors = self._factor_cache_eligible(plan, n_rows=n_b)
             if cache_factors:
                 from .fused import (
                     make_scan_cached_tail,
@@ -1484,25 +1588,36 @@ class GPARRegressor:
                 )
 
                 factors_fn = make_scan_posterior_factors(
-                    plan, self.x_ind, mesh=_cfg.mesh
+                    plan, self.x_ind, mesh=_cfg.mesh, rows_traced=bucketed
                 )
                 tail_cached = make_scan_cached_tail(
-                    plan, latent, mesh=_cfg.mesh
+                    plan, latent, mesh=_cfg.mesh, rows_traced=bucketed
                 )
 
-                def program(z0, x_arr, x_test, w_test, keys, layer_keys):
-                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
-                        z0, x_arr, layer_keys
+                def program(
+                    z0, x_arr, x_test, w_test, keys, layer_keys,
+                    xs_rows=None, mt=None, ms=None, nstats=None,
+                ):
+                    if bucketed:
+                        z_final, layer_nll, layer_iters, layer_nll0 = (
+                            fit_body(z0, x_arr, layer_keys, xs_rows)
+                        )
+                        factors = factors_fn(z_final, x_arr, xs_rows)
+                        batch, _ = tail_cached(
+                            z_final, factors, x_test, w_test.T, keys,
+                            xs_rows, mt,
+                        )
+                    else:
+                        z_final, layer_nll, layer_iters, layer_nll0 = (
+                            fit_body(z0, x_arr, layer_keys)
+                        )
+                        factors = factors_fn(z_final, x_arr)
+                        batch, _ = tail_cached(
+                            z_final, factors, x_test, w_test.T, keys
+                        )
+                    mean, lowers, uppers = self._mc_stats(
+                        self._undo_t(batch, nstats), num_samples, ms,
                     )
-                    factors = factors_fn(z_final, x_arr)
-                    batch, _ = tail_cached(
-                        z_final, factors, x_test, w_test.T, keys
-                    )
-                    batch = batch[:num_samples]  # drop mesh-padding surplus
-                    batch = self._untransform_y(self._unnormalise_y(batch))
-                    mean = jnp.mean(batch, axis=0)
-                    lowers = jnp.percentile(batch, 2.5, axis=0)
-                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
                     return (
                         z_final, layer_nll, layer_iters, layer_nll0,
                         mean, lowers, uppers, factors,
@@ -1510,19 +1625,32 @@ class GPARRegressor:
 
             else:
                 tail = make_scan_predict_tail(
-                    plan, self.x_ind, latent, mesh=_cfg.mesh
+                    plan, self.x_ind, latent, mesh=_cfg.mesh,
+                    rows_traced=bucketed,
                 )
 
-                def program(z0, x_arr, x_test, w_test, keys, layer_keys):
-                    z_final, layer_nll, layer_iters, layer_nll0 = fit_body(
-                        z0, x_arr, layer_keys
+                def program(
+                    z0, x_arr, x_test, w_test, keys, layer_keys,
+                    xs_rows=None, mt=None, ms=None, nstats=None,
+                ):
+                    if bucketed:
+                        z_final, layer_nll, layer_iters, layer_nll0 = (
+                            fit_body(z0, x_arr, layer_keys, xs_rows)
+                        )
+                        batch, _ = tail(
+                            z_final, x_arr, x_test, w_test.T, keys,
+                            xs_rows, mt,
+                        )
+                    else:
+                        z_final, layer_nll, layer_iters, layer_nll0 = (
+                            fit_body(z0, x_arr, layer_keys)
+                        )
+                        batch, _ = tail(
+                            z_final, x_arr, x_test, w_test.T, keys
+                        )
+                    mean, lowers, uppers = self._mc_stats(
+                        self._undo_t(batch, nstats), num_samples, ms,
                     )
-                    batch, _ = tail(z_final, x_arr, x_test, w_test.T, keys)
-                    batch = batch[:num_samples]  # drop mesh-padding surplus
-                    batch = self._untransform_y(self._unnormalise_y(batch))
-                    mean = jnp.mean(batch, axis=0)
-                    lowers = jnp.percentile(batch, 2.5, axis=0)
-                    uppers = jnp.percentile(batch, 100 - 2.5, axis=0)
                     return (
                         z_final, layer_nll, layer_iters, layer_nll0,
                         mean, lowers, uppers, None,
@@ -1577,11 +1705,15 @@ class GPARRegressor:
             scan,
             scan_tail,
             cache_factors,
-            self.n,
+            bucketed,
+            n_b,
             self.m,
             self.p,
-            x_test.shape,
-            num_samples,
+            (nt_b, x_test.shape[1]),
+            # Bucketed programs are num_samples-agnostic (the surplus is
+            # masked out of nan-reductions); exact programs bake the
+            # sample count and the dataset.
+            n_keys if bucketed else num_samples,
             latent,
             iters,
             gtol,
@@ -1589,7 +1721,7 @@ class GPARRegressor:
             restarts,
             restart_scale,
             mesh_descriptor(),
-            self._data_fingerprint,
+            None if bucketed else self._data_fingerprint,
         )
         fn = self._jit_cache.get(cache_key)
         if fn is None:
@@ -1599,12 +1731,18 @@ class GPARRegressor:
         import time as _time
 
         t0 = _time.time()
+        call_args = (
+            self.vs.latent_vector(all_names), x_fit, x_test_in, w_test,
+            keys, layer_keys,
+        )
+        if bucketed:
+            call_args = call_args + (
+                xs_rows, mt, ms, self._norm_args(self.p, dtype),
+            )
         (
             z_final, layer_nll, layer_iters, layer_nll0,
             mean, lowers, uppers, factors,
-        ) = fn(
-            self.vs.latent_vector(all_names), self.x, x_test, w_test, keys, layer_keys
-        )
+        ) = fn(*call_args)
         jax.block_until_ready(mean)
         self.vs.set_latent_vector(all_names, z_final)
         if factors is not None:
@@ -1627,10 +1765,10 @@ class GPARRegressor:
             "restarts": restarts,
         }
 
-        mean = self._unpermute_outputs(np.asarray(mean))
+        mean = self._unpermute_outputs(np.asarray(mean)[:n_test])
         if credible_bounds:
-            lowers = self._unpermute_outputs(np.asarray(lowers))
-            uppers = self._unpermute_outputs(np.asarray(uppers))
+            lowers = self._unpermute_outputs(np.asarray(lowers)[:n_test])
+            uppers = self._unpermute_outputs(np.asarray(uppers)[:n_test])
             return mean, lowers, uppers
         return mean
 
@@ -1784,6 +1922,18 @@ class GPARRegressor:
         def undo_transforms(y_):
             return self._untransform_y(self._unnormalise_y(y_))
 
+        from ..config import bucket_rows, bucket_samples
+        from ..config import config as _cfg
+
+        # Shape bucketing (config.shape_buckets, single-device scan
+        # tails): the sample count pads to a bucket up front — safe on
+        # every path (surplus draws are masked/sliced before results
+        # leave the program; prefix-stable key splitting keeps the real
+        # draws identical) — and the test rows pad once the serving path
+        # is known below.
+        bucket_candidate = bool(
+            _cfg.shape_buckets and active_mesh is None and _cfg.scan_predict
+        )
         if key is None:
             key = next_key()
         n_keys = num_samples
@@ -1792,11 +1942,11 @@ class GPARRegressor:
             # equal share; surplus samples are dropped after the fact.
             size = active_mesh.devices.size
             n_keys = num_samples + (-num_samples) % size
+        elif bucket_candidate:
+            n_keys = bucket_samples(num_samples)
         keys = jax.random.split(key, n_keys)
         if active_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
-
-            from ..config import config as _cfg
 
             keys = jax.device_put(
                 keys, NamedSharding(active_mesh, PartitionSpec(_cfg.shard_axis))
@@ -1861,54 +2011,102 @@ class GPARRegressor:
         # Under a mesh the pre-sharded key batch rides through unchanged:
         # the tail's per-layer factors are key-independent (replicated by
         # GSPMD) and the draws/outputs propagate the sample-axis sharding.
-        from ..config import config as _cfg
-
+        # Single-device scan tails run SHAPE-BUCKETED by default: test
+        # rows/samples pad to buckets with the data traced as arguments,
+        # so the compiled program serves every dataset in the size range.
         scan_tail = posterior and _cfg.scan_predict
         factors = None
+        bucketed = False
+        n_b = None
         if scan_tail:
             from .fused import build_scan_fit_plan
 
             plan = build_scan_fit_plan(self, names)
-            if self.replace and self._factor_cache_eligible(plan):
+            bucketed = bucket_candidate
+            n_b = bucket_rows(self.n) if bucketed else self.n
+            if self.replace and self._factor_cache_eligible(plan, n_rows=n_b):
                 # Repeated-serving fast path: reuse the per-layer posterior
                 # factors across predict/sample calls (the reference
                 # re-conditions on every call, ``gpar/regression.py:547``).
                 from .fused import make_scan_cached_tail
 
                 factors = self._posterior_factors(plan, names, z)
-                tail = make_scan_cached_tail(plan, latent, mesh=_cfg.mesh)
+                tail = make_scan_cached_tail(
+                    plan, latent, mesh=_cfg.mesh, rows_traced=bucketed
+                )
 
-                def program(z, factors, x_test, w_test, keys):
-                    batch, _ = tail(z, factors, x_test, w_test.T, keys)
-                    return batch
+                if bucketed:
+
+                    def program(z, factors, x_test, w_test, keys, xs_rows, mt):
+                        batch, _ = tail(
+                            z, factors, x_test, w_test.T, keys, xs_rows, mt
+                        )
+                        return batch
+
+                else:
+
+                    def program(z, factors, x_test, w_test, keys):
+                        batch, _ = tail(z, factors, x_test, w_test.T, keys)
+                        return batch
 
             elif self.replace:
                 from .fused import make_scan_predict_tail
 
                 tail = make_scan_predict_tail(
-                    plan, self.x_ind, latent, mesh=_cfg.mesh
+                    plan, self.x_ind, latent, mesh=_cfg.mesh,
+                    rows_traced=bucketed,
                 )
 
-                def program(z, x_data, x_test, w_test, keys):
-                    batch, _ = tail(z, x_data, x_test, w_test.T, keys)
-                    return batch
+                if bucketed:
 
-            elif self._factor_stack_fits(plan):
+                    def program(z, x_data, x_test, w_test, keys, xs_rows, mt):
+                        batch, _ = tail(
+                            z, x_data, x_test, w_test.T, keys, xs_rows, mt
+                        )
+                        return batch
+
+                else:
+
+                    def program(z, x_data, x_test, w_test, keys):
+                        batch, _ = tail(z, x_data, x_test, w_test.T, keys)
+                        return batch
+
+            elif self._factor_stack_fits(plan, n_rows=n_b):
                 # replace=False (the reference-default predictive config):
                 # per-sample ancestral chains through ONE lax.scan whose
                 # body vmaps the sample axis — cold compile O(1) in p,
                 # posterior factors cached across calls when eligible.
-                from .fused import make_scan_ancestral_tail
-
-                tail = make_scan_ancestral_tail(
-                    plan, latent, sample_chunk=_cfg.predict_sample_chunk,
-                    mesh=_cfg.mesh,
+                from .fused import (
+                    make_scan_ancestral_tail,
+                    resolve_sample_chunk,
                 )
-                if self._factor_cache_eligible(plan):
+
+                nt_chunk = bucket_rows(x.shape[0]) if bucketed else x.shape[0]
+                tail = make_scan_ancestral_tail(
+                    plan, latent,
+                    sample_chunk=resolve_sample_chunk(
+                        _cfg.predict_sample_chunk, n_keys, nt_chunk,
+                        x.dtype, _cfg.predict_memory_budget,
+                    ),
+                    mesh=_cfg.mesh, rows_traced=bucketed,
+                )
+                if self._factor_cache_eligible(plan, n_rows=n_b):
                     factors = self._posterior_factors(plan, names, z)
 
-                    def program(z, factors, x_test, w_test, keys):
-                        return tail(z, factors, x_test, w_test.T, keys)
+                    if bucketed:
+
+                        def program(
+                            z, factors, x_test, w_test, keys, xs_rows, mt
+                        ):
+                            return tail(
+                                z, factors, x_test, w_test.T, keys,
+                                xs_rows, mt,
+                            )
+
+                    else:
+
+                        def program(z, factors, x_test, w_test, keys):
+                            return tail(z, factors, x_test, w_test.T, keys)
 
                 else:
                     # Cache disabled: compute the factors inside the same
@@ -1916,94 +2114,273 @@ class GPARRegressor:
                     from .fused import make_scan_posterior_factors
 
                     factors_fn = make_scan_posterior_factors(
-                        plan, self.x_ind, mesh=_cfg.mesh
+                        plan, self.x_ind, mesh=_cfg.mesh,
+                        rows_traced=bucketed,
                     )
 
-                    def program(z, x_data, x_test, w_test, keys):
-                        return tail(
-                            z, factors_fn(z, x_data), x_test, w_test.T, keys
-                        )
+                    if bucketed:
+
+                        def program(
+                            z, x_data, x_test, w_test, keys, xs_rows, mt
+                        ):
+                            return tail(
+                                z, factors_fn(z, x_data, xs_rows), x_test,
+                                w_test.T, keys, xs_rows, mt,
+                            )
+
+                    else:
+
+                        def program(z, x_data, x_test, w_test, keys):
+                            return tail(
+                                z, factors_fn(z, x_data), x_test,
+                                w_test.T, keys,
+                            )
 
             else:
                 # A dense factor stack too large to materialise: keep the
                 # unrolled per-sample chain (same peak memory, O(p)
                 # compile).
                 scan_tail = False
+                bucketed = False
 
         if not posterior and _cfg.scan_predict:
             # Scan-fused PRIOR sampling: per-sample ancestral chains with
             # zero-mean layers through one lax.scan — cold compile O(1)
             # in p (fused.make_scan_prior_tail; bit-matches the unrolled
             # chain per key).
-            from .fused import build_scan_prior_plan, make_scan_prior_tail
+            from .fused import (
+                build_scan_prior_plan,
+                make_scan_prior_tail,
+                resolve_sample_chunk,
+            )
 
             scan_tail = True
+            bucketed = bucket_candidate
             prior_plan = build_scan_prior_plan(
                 self, m_in, p_out, names, x.dtype
             )
+            nt_chunk = bucket_rows(x.shape[0]) if bucketed else x.shape[0]
             prior_tail = make_scan_prior_tail(
-                prior_plan, latent, sample_chunk=_cfg.predict_sample_chunk,
+                prior_plan, latent,
+                sample_chunk=resolve_sample_chunk(
+                    _cfg.predict_sample_chunk, n_keys, nt_chunk,
+                    x.dtype, _cfg.predict_memory_budget,
+                ),
                 mesh=_cfg.mesh,
             )
 
-            def program(z, x_data, x_test, w_test, keys):
-                return prior_tail(z, x_test, w_test.T, keys)
+            if bucketed:
 
-        def finalize(batch):
-            # On-device reduction (predict): undo transforms, drop the
-            # mesh-padding surplus, then reduce over the sample axis — the
-            # host transfer becomes O(n p) instead of O(S n p)
+                def program(z, x_data, x_test, w_test, keys, xs_rows, mt):
+                    return prior_tail(z, x_test, w_test.T, keys, mt)
+
+            else:
+
+                def program(z, x_data, x_test, w_test, keys):
+                    return prior_tail(z, x_test, w_test.T, keys)
+
+        # Padded test inputs + row/sample validity masks (bucketed mode);
+        # the per-row plan arrays (training data) ride as traced args.
+        nt = x.shape[0]
+        if bucketed:
+            nt_b = bucket_rows(nt)
+            np_dtype = np.dtype(np.asarray(x).dtype)
+            if nt_b > nt:
+                x_in = jnp.asarray(
+                    np.pad(np.asarray(x), ((0, nt_b - nt), (0, 0)))
+                )
+                w_in = jnp.concatenate(
+                    [w, jnp.ones((nt_b - nt, w.shape[1]), dtype=w.dtype)]
+                )
+            else:
+                x_in, w_in = x, w
+            mt = jnp.asarray((np.arange(nt_b) < nt).astype(np_dtype))
+            ms = jnp.asarray((np.arange(n_keys) < num_samples).astype(np_dtype))
+            if posterior:
+                _, x_data_in, xs_rows = self._bucket_fit_inputs(plan)
+            else:
+                x_data_in, xs_rows = None, None
+        else:
+            nt_b, x_in, w_in = nt, x, w
+            mt, ms, xs_rows, x_data_in = None, None, None, x_data
+
+        def finalize(batch, ms, nstats=None):
+            # On-device reduction (predict): undo transforms (traced
+            # normalisation stats under bucketing — the program must not
+            # bake the dataset's mean/std as constants), drop the
+            # padding surplus (slice for mesh padding; NaN masking +
+            # nan-reductions for sample buckets, keeping the program
+            # num_samples-agnostic), then reduce over the sample axis —
+            # the host transfer becomes O(n p) instead of O(S n p)
             # (``gpar/regression.py:589-595`` reduces host-side).
             if reduce is None:
                 return batch
-            batch = undo_transforms(batch)[:num_samples]
-            mean = jnp.mean(batch, axis=0)
+            batch = self._undo_t(batch, nstats)
+            if ms is None:
+                batch = batch[:num_samples]
+                mean_f, pct_f = jnp.mean, jnp.percentile
+            else:
+                batch = jnp.where(ms[:, None, None] > 0, batch, jnp.nan)
+                mean_f, pct_f = jnp.nanmean, jnp.nanpercentile
+            mean = mean_f(batch, axis=0)
             if reduce == "bounds":
                 return (
                     mean,
-                    jnp.percentile(batch, 2.5, axis=0),
-                    jnp.percentile(batch, 100 - 2.5, axis=0),
+                    pct_f(batch, 2.5, axis=0),
+                    pct_f(batch, 100 - 2.5, axis=0),
                 )
             return (mean,)
 
-        def full_program(*args):
-            return finalize(program(*args))
+        if bucketed:
+
+            def full_program(
+                z, lead, x_test, w_test, keys, xs_rows, mt, ms, nstats
+            ):
+                return finalize(
+                    program(z, lead, x_test, w_test, keys, xs_rows, mt),
+                    ms, nstats,
+                )
+
+        else:
+
+            def full_program(*args):
+                return finalize(program(*args), None)
 
         cache_key = (
             "sample",
             scan_tail,
             factors is not None,
+            bucketed,
             reduce,
-            x.shape,
-            num_samples,
+            (nt_b, x.shape[1]),
+            n_keys,
+            None if bucketed else num_samples,
             latent,
             posterior,
             p_out,
+            n_b,
             mesh_descriptor(),
-            self._data_fingerprint if posterior else None,
+            None
+            if bucketed
+            else (self._data_fingerprint if posterior else None),
         )
         sample_fn = self._jit_cache.get(cache_key)
         if sample_fn is None:
             sample_fn = jax.jit(full_program)
             self._jit_cache[cache_key] = sample_fn
-        if factors is not None:
-            out = sample_fn(z, factors, x, w, keys)
+        lead = factors if factors is not None else x_data_in
+        if bucketed:
+            out = sample_fn(
+                z, lead, x_in, w_in, keys, xs_rows, mt, ms,
+                self._norm_args(p_out, np.asarray(x).dtype),
+            )
         else:
-            out = sample_fn(z, x_data, x, w, keys)
+            out = sample_fn(z, lead, x_in, w_in, keys)
         if reduce is not None:
             out = tuple(
-                self._unpermute_outputs(np.asarray(a), strict=posterior)
+                self._unpermute_outputs(np.asarray(a)[:nt], strict=posterior)
                 for a in out
             )
             return out[0] if reduce == "mean" else out
-        batch = np.asarray(undo_transforms(out))[:num_samples]
+        batch = np.asarray(undo_transforms(out))[:num_samples, :nt]
         # Greedy-ordered layers -> original output columns (prior samples
         # of a different chain length stay in layer order).
         batch = self._unpermute_outputs(batch, strict=posterior)
         samples = [batch[i] for i in range(num_samples)]
         return samples[0] if num_samples == 1 else samples
 
-    def _factor_cache_eligible(self, plan):
+    def _fit_bucketed(self, scan):
+        """Whether the shape-bucketed (rows-traced) form of the scan fit
+        body applies: single-device scan bodies only — mesh programs pad
+        to the device geometry and commit their data at build time, the
+        unrolled/batched fallbacks bake the data's NaN plan."""
+        from ..config import config as _cfg
+
+        return bool(
+            scan == "scan" and _cfg.mesh is None and _cfg.shape_buckets
+        )
+
+    def _bucket_fit_inputs(self, plan):
+        """Padded (bucket size, x, per-row plan arrays) for the
+        shape-bucketed scan programs, cached per (dataset, bucket)."""
+        from ..config import bucket_rows
+        from .fused import pad_plan_rows
+
+        n_b = bucket_rows(plan.n)
+        key = (self._data_fingerprint, n_b)
+        slot = self._bucket_cache
+        if slot is not None and slot[0] == key:
+            return n_b, slot[1], slot[2]
+        if n_b > plan.n:
+            x_pad = jnp.asarray(
+                np.pad(np.asarray(self.x), ((0, n_b - plan.n), (0, 0)))
+            )
+        else:
+            x_pad = self.x
+        xs_rows = pad_plan_rows(plan, n_b)
+        if plan.sparse:
+            # Inducing inputs ride as a traced argument too: they are
+            # data-derived in every reference workload (linspace over the
+            # data range, examples/paper/air_temp.py:33), and baking them
+            # as HLO constants would defeat cross-instance reuse via the
+            # persistent compile cache.
+            xs_rows["x_ind"] = jnp.asarray(
+                np.asarray(self.x_ind), dtype=np.asarray(self.x).dtype
+            )
+        self._bucket_cache = (key, x_pad, xs_rows)
+        return n_b, x_pad, xs_rows
+
+    def _norm_args(self, p_out, dtype):
+        """Output-normalisation statistics as TRACED arguments for the
+        shape-bucketed serving programs.  The bucketed cache key drops the
+        data fingerprint, so anything data-derived inside the program must
+        ride as an argument — including the (1, p) mean/std the serving
+        tails unnormalise with (closure-captured stats would be baked as
+        HLO constants and replay the PREVIOUS dataset's normalisation on
+        reuse).  Identity (0, 1) when ``normalise_y`` is off, keeping the
+        program signature uniform."""
+        if self.normalise_y and getattr(self, "_norm_stats", None):
+            return (
+                jnp.asarray(self._norm_stats["means"], dtype=dtype),
+                jnp.asarray(self._norm_stats["stds"], dtype=dtype),
+            )
+        return (
+            jnp.zeros((1, p_out), dtype=dtype),
+            jnp.ones((1, p_out), dtype=dtype),
+        )
+
+    def _undo_t(self, batch, nstats):
+        """Model space -> data space: unnormalise (traced stats when the
+        bucketed programs thread them, the conditioned closure otherwise)
+        then untransform (``gpar/regression.py:589-595`` order)."""
+        if nstats is None:
+            return self._untransform_y(self._unnormalise_y(batch))
+        mu, sd = nstats
+        return self._untransform_y(batch * sd + mu)
+
+    @staticmethod
+    def _mc_stats(batch, num_samples, ms):
+        """On-device Monte-Carlo mean + 95% central bounds over the sample
+        axis.  ``ms is None``: slice the surplus (mesh padding) and reduce
+        exactly.  With a sample-validity mask ``ms`` (shape bucketing),
+        surplus draws become NaN and the nan-reductions see exactly the
+        ``num_samples`` real draws — the program stays num_samples-
+        agnostic (one executable per sample BUCKET)."""
+        if ms is None:
+            batch = batch[:num_samples]
+            return (
+                jnp.mean(batch, axis=0),
+                jnp.percentile(batch, 2.5, axis=0),
+                jnp.percentile(batch, 100 - 2.5, axis=0),
+            )
+        batch = jnp.where(ms[:, None, None] > 0, batch, jnp.nan)
+        return (
+            jnp.nanmean(batch, axis=0),
+            jnp.nanpercentile(batch, 2.5, axis=0),
+            jnp.nanpercentile(batch, 100 - 2.5, axis=0),
+        )
+
+    def _factor_cache_eligible(self, plan, n_rows=None):
         """Whether the posterior-factor cache engages for this model/data.
 
         Sparse factors are O(p·M²) — always cheap.  Dense factors stack
@@ -2015,19 +2392,24 @@ class GPARRegressor:
         """
         from ..config import config as _cfg
 
-        return _cfg.posterior_cache and self._factor_stack_fits(plan)
+        return _cfg.posterior_cache and self._factor_stack_fits(
+            plan, n_rows=n_rows
+        )
 
-    def _factor_stack_fits(self, plan):
+    def _factor_stack_fits(self, plan, n_rows=None):
         """Whether the per-layer posterior-factor stack is small enough to
         materialise at all (cache or in-program): sparse factors are
         O(p·M²); dense stacks hold p (n, n) Cholesky factors and are
-        bounded by ``config.posterior_cache_max_bytes``."""
+        bounded by ``config.posterior_cache_max_bytes``.  ``n_rows``
+        overrides the row count (the padded bucket under shape
+        bucketing)."""
         from ..config import config as _cfg
 
         if plan.sparse:
             return True
+        n = plan.n if n_rows is None else n_rows
         itemsize = np.dtype(np.asarray(self.x).dtype).itemsize
-        bytes_needed = plan.p * plan.n * (plan.n + plan.W + 1) * itemsize
+        bytes_needed = plan.p * n * (n + plan.W + 1) * itemsize
         return bytes_needed <= _cfg.posterior_cache_max_bytes
 
     def _posterior_factors(self, plan, names, z):
@@ -2047,17 +2429,30 @@ class GPARRegressor:
         slot = self._factor_cache
         if slot is not None and slot[0] == key:
             return slot[1]
-        jit_key = ("pfactors", self.p, mesh_descriptor(), self._data_fingerprint)
+        from ..config import config as _cfg
+        from .fused import make_scan_posterior_factors
+
+        # Shape-bucketed factors (rows padded, data traced): the compiled
+        # factor program is keyed on the bucket, and the factors match
+        # the bucketed serving tails' shapes.
+        bucketed = self._fit_bucketed("scan")
+        if bucketed:
+            n_b, x_in, xs_rows = self._bucket_fit_inputs(plan)
+            jit_key = ("pfactors", self.p, n_b, mesh_descriptor())
+        else:
+            x_in, xs_rows = self.x, None
+            jit_key = (
+                "pfactors", self.p, mesh_descriptor(), self._data_fingerprint
+            )
         fn = self._jit_cache.get(jit_key)
         if fn is None:
-            from ..config import config as _cfg
-            from .fused import make_scan_posterior_factors
-
             fn = jax.jit(
-                make_scan_posterior_factors(plan, self.x_ind, mesh=_cfg.mesh)
+                make_scan_posterior_factors(
+                    plan, self.x_ind, mesh=_cfg.mesh, rows_traced=bucketed
+                )
             )
             self._jit_cache[jit_key] = fn
-        factors = fn(z, self.x)
+        factors = fn(z, x_in, xs_rows) if bucketed else fn(z, x_in)
         self._factor_cache = (key, factors)
         return factors
 

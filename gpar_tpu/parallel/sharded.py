@@ -47,7 +47,26 @@ __all__ = [
 
 
 def make_mesh(n_devices=None, axis="dp", devices=None):
-    """A 1-D device mesh over the first ``n_devices`` devices."""
+    """A 1-D device mesh over the first ``n_devices`` devices.
+
+    Single-process (single-host) meshes only.  SURVEY.md §5 scopes the
+    distributed backend to one host (``jax.distributed`` is not required
+    for the BASELINE targets), and the estimator's mesh paths assume
+    every mesh device is addressable from this process: plan arrays and
+    padded data are ``jax.device_put`` from the host with explicit
+    shardings (``models/fused._committed_plan_xs``), and greedy/serving
+    key batches are built host-side.  Under ``jax.distributed.
+    initialize`` those transfers would need process-local addressable
+    shards (``jax.make_array_from_process_local_data``) — unimplemented,
+    so this raises rather than silently mis-sharding.
+    """
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "gpar_tpu meshes are single-process: host-side device_put of "
+            "plan/data arrays assumes all mesh devices are addressable "
+            "from this process (SURVEY.md §5 scopes multi-host out; see "
+            "docs/design.md 'Multi-host readiness')."
+        )
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:

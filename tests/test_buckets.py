@@ -1,0 +1,297 @@
+"""Shape-bucketed compilation (VERDICT r3 №1): the single-device
+scan-fused fit/serve programs pad rows, test rows, and the Monte-Carlo
+sample count to geometric buckets with the data riding in as traced
+arguments, so ONE compiled executable covers a whole size range.  These
+tests pin (a) padded == unpadded results to rounding, and (b) program
+reuse: a second dataset with a different row count inside the same bucket
+hits the in-process jit cache instead of recompiling.
+
+The reference recompiles nothing because it compiles nothing — this axis
+is new TPU systems work with no counterpart in ``gpar/``.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from gpar_tpu import GPARRegressor
+from gpar_tpu.config import bucket_rows, bucket_samples, config
+
+from .util import approx
+
+
+def _data(n=40, p=3, missing=False, seed=7):
+    r = np.random.default_rng(seed)
+    x = np.sort(r.uniform(0, 6, n))
+    cols = [np.sin(x)]
+    for i in range(1, p):
+        cols.append(np.cos(cols[-1]) + 0.3 * np.sin((i + 1) * x))
+    y = np.stack(cols, 1) + 0.05 * r.standard_normal((n, p))
+    if missing:
+        y[r.uniform(size=(n, p)) < 0.15] = np.nan
+        y[0, :] = np.nan_to_num(y[0, :], nan=0.1)
+    return x, y
+
+
+def _no_buckets():
+    """Context values for an exact (unbucketed) reference run."""
+
+    class _Ctx:
+        def __enter__(self):
+            self.prev = config.shape_buckets
+            config.shape_buckets = False
+
+        def __exit__(self, *exc):
+            config.shape_buckets = self.prev
+
+    return _Ctx()
+
+
+def test_bucket_helpers():
+    prev = (config.shape_buckets, config.bucket_ratio, config.bucket_floor)
+    try:
+        config.shape_buckets = True
+        config.bucket_ratio = 1.25
+        config.bucket_floor = 64
+        # Multiples of the floor, monotone, >= n, ratio-bounded waste.
+        last = 0
+        for n in [1, 63, 64, 65, 100, 500, 1000, 4096, 50_000]:
+            b = bucket_rows(n)
+            assert b >= n and b % 64 == 0
+            assert b >= last  # monotone in n
+            last = b if b > last else last
+            if n > 64:
+                # Waste bounded by ~(ratio - 1) plus floor rounding.
+                assert b <= int(n * 1.25) + 64, (n, b)
+        assert bucket_rows(64) == 64  # exact bucket is identity
+        assert bucket_samples(1) == config.sample_bucket
+        assert bucket_samples(17) == 2 * config.sample_bucket
+        config.shape_buckets = False
+        assert bucket_rows(100) == 100
+        assert bucket_samples(17) == 17
+    finally:
+        (
+            config.shape_buckets,
+            config.bucket_ratio,
+            config.bucket_floor,
+        ) = prev
+
+
+CONFIGS = {
+    "dense-impute-missing": dict(noise=0.1, impute=True, normalise_y=True),
+    "dense-replace": dict(
+        noise=0.1, impute=False, replace=True, normalise_y=False
+    ),
+    "sparse-impute-replace": dict(
+        noise=0.1,
+        impute=True,
+        replace=True,
+        normalise_y=True,
+        x_ind=np.linspace(0, 6, 9),
+    ),
+}
+
+
+@pytest.mark.parametrize("kw", CONFIGS.values(), ids=CONFIGS.keys())
+def test_bucketed_fit_matches_exact(kw):
+    # Padded rows are exactly neutral (identity rows in the dense
+    # covariance, D^{-1} = 0 in the Titsias ELBO): the bucketed fit's
+    # objective and optimised hyperparameters match the exact-shape
+    # program to rounding.
+    missing = "missing" in [k for k in CONFIGS if CONFIGS[k] is kw][0]
+    x, y = _data(n=40, missing=missing)
+    assert config.shape_buckets  # the default
+    assert bucket_rows(40) > 40  # the test exercises real padding
+    key = jax.random.PRNGKey(0)
+
+    rb = GPARRegressor(**kw)
+    rb.fit(x, y, iters=0, key=key)
+    with _no_buckets():
+        re = GPARRegressor(**kw)
+        re.fit(x, y, iters=0, key=key)
+    approx(
+        rb.last_fit_report["layer_nll"],
+        re.last_fit_report["layer_nll"],
+        atol=1e-9,
+    )
+
+    rb2 = GPARRegressor(**kw)
+    rb2.fit(x, y, iters=5, key=key)
+    with _no_buckets():
+        re2 = GPARRegressor(**kw)
+        re2.fit(x, y, iters=5, key=key)
+    approx(
+        rb2.last_fit_report["layer_nll"],
+        re2.last_fit_report["layer_nll"],
+        rtol=1e-6,
+        atol=1e-8,
+    )
+    for n_ in re2.vs.names:
+        approx(rb2.vs[n_], re2.vs[n_], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("replace", [False, True])
+def test_bucketed_fit_predict_matches_exact(replace):
+    # The fused fit_predict serving program pads n, n_test, AND the
+    # sample count; surplus draws are masked out of the nan-reductions
+    # and real draws are prefix-stable, so mean/bounds match the exact
+    # program to rounding.
+    x, y = _data(n=40)
+    x_test = np.linspace(-0.5, 6.5, 23)
+    key = jax.random.PRNGKey(3)
+    kw = dict(noise=0.1, replace=replace, impute=not replace)
+
+    rb = GPARRegressor(**kw)
+    mb, lb, ub = rb.fit_predict(
+        x, y, x_test, iters=3, num_samples=7, credible_bounds=True, key=key
+    )
+    with _no_buckets():
+        re = GPARRegressor(**kw)
+        me, le, ue = re.fit_predict(
+            x, y, x_test, iters=3, num_samples=7,
+            credible_bounds=True, key=key,
+        )
+    approx(mb, me, rtol=1e-6, atol=1e-8)
+    approx(lb, le, rtol=1e-6, atol=1e-8)
+    approx(ub, ue, rtol=1e-6, atol=1e-8)
+
+
+def test_bucketed_sample_predict_match_exact():
+    # Posterior sample + predict through the bucketed cached tail vs the
+    # exact program: identical keys, identical draws (prefix-stable
+    # padding), so raw samples agree to rounding.
+    x, y = _data(n=40)
+    x_test = np.linspace(0, 6, 13)
+    key_fit = jax.random.PRNGKey(1)
+    key_s = jax.random.PRNGKey(11)
+
+    rb = GPARRegressor(noise=0.1, replace=True)
+    rb.fit(x, y, iters=3, key=key_fit)
+    sb = rb.sample(x_test, posterior=True, num_samples=5, key=key_s)
+    pb = rb.predict(x_test, num_samples=6, key=key_s)
+    with _no_buckets():
+        re = GPARRegressor(noise=0.1, replace=True)
+        re.fit(x, y, iters=3, key=key_fit)
+        se = re.sample(x_test, posterior=True, num_samples=5, key=key_s)
+        pe = re.predict(x_test, num_samples=6, key=key_s)
+    for a, b in zip(sb, se):
+        approx(a, b, rtol=1e-6, atol=1e-8)
+    approx(pb, pe, rtol=1e-6, atol=1e-8)
+
+
+def test_bucketed_prior_sample_matches_exact():
+    x, y = _data(n=40)
+    key = jax.random.PRNGKey(5)
+    rb = GPARRegressor(noise=0.1)
+    rb.condition(x, y)
+    sb = rb.sample(np.linspace(0, 6, 13), p=3, num_samples=3, key=key)
+    with _no_buckets():
+        re = GPARRegressor(noise=0.1)
+        re.condition(x, y)
+        se = re.sample(np.linspace(0, 6, 13), p=3, num_samples=3, key=key)
+    for a, b in zip(sb, se):
+        approx(a, b, rtol=1e-6, atol=1e-8)
+
+
+def test_bucketed_fit_reuses_program_across_datasets():
+    # THE point of bucketing: a second dataset with a different row count
+    # inside the same bucket reuses the compiled fit executable — the
+    # jit-cache key is (bucket, model), not (shape, data).
+    x1, y1 = _data(n=40, seed=1)
+    x2, y2 = _data(n=50, seed=2)
+    assert bucket_rows(40) == bucket_rows(50)
+
+    reg = GPARRegressor(noise=0.1, normalise_y=True)
+    reg.condition(x1, y1)
+    reg._ensure_vars(reg.p)
+    z_init = reg.vs.snapshot()
+    reg.fit(x1, y1, iters=3, key=jax.random.PRNGKey(0))
+    keys_after_first = [k for k in reg._jit_cache if k[0] == "fit_fused"]
+    assert len(keys_after_first) == 1
+    reg.vs.restore(z_init)
+    reg.fit(x2, y2, iters=3, key=jax.random.PRNGKey(1))
+    keys_after_second = [k for k in reg._jit_cache if k[0] == "fit_fused"]
+    assert keys_after_second == keys_after_first  # cache hit, no new entry
+    # And the reused SERVING programs see the second dataset's
+    # normalisation statistics and posterior factors — everything
+    # data-derived must ride as traced arguments, not baked constants
+    # (stats baked from dataset 1 would silently unnormalise dataset 2's
+    # predictions with the wrong mean/std).
+    key_s = jax.random.PRNGKey(7)
+    mean = reg.predict(x2, num_samples=6, key=key_s)
+    with _no_buckets():
+        ref = GPARRegressor(noise=0.1, normalise_y=True)
+        ref.fit(x2, y2, iters=3, key=jax.random.PRNGKey(1))
+        mean_ref = ref.predict(x2, num_samples=6, key=key_s)
+    approx(mean, mean_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_bucketed_fit_predict_reuses_program_across_datasets():
+    x1, y1 = _data(n=40, seed=1)
+    x2, y2 = _data(n=50, seed=2)
+    xt1 = np.linspace(0, 6, 20)
+    xt2 = np.linspace(0, 6, 30)
+    assert bucket_rows(40) == bucket_rows(50)
+    assert bucket_rows(20) == bucket_rows(30)
+
+    reg = GPARRegressor(noise=0.1, replace=True, normalise_y=True)
+    reg.condition(x1, y1)
+    reg._ensure_vars(reg.p)
+    z_init = reg.vs.snapshot()
+    m1 = reg.fit_predict(
+        x1, y1, xt1, iters=2, num_samples=5, key=jax.random.PRNGKey(0)
+    )
+    fp_keys = [k for k in reg._jit_cache if k[0] == "fit_predict"]
+    assert len(fp_keys) == 1
+    # Different n, n_test, AND num_samples — same buckets, same program
+    # (bucketed programs are num_samples-agnostic inside the bucket).
+    reg.vs.restore(z_init)
+    m2 = reg.fit_predict(
+        x2, y2, xt2, iters=2, num_samples=7, key=jax.random.PRNGKey(1)
+    )
+    assert [k for k in reg._jit_cache if k[0] == "fit_predict"] == fp_keys
+    assert m1.shape == (20, 3) and m2.shape == (30, 3)
+    assert np.isfinite(m1).all() and np.isfinite(m2).all()
+    # Oracle on the REUSED serving program: dataset 2's normalisation
+    # stats must flow in as traced arguments, so the reused executable
+    # matches a fresh exact-shape fit_predict on the second dataset.
+    with _no_buckets():
+        ref = GPARRegressor(noise=0.1, replace=True, normalise_y=True)
+        m2_ref = ref.fit_predict(
+            x2, y2, xt2, iters=2, num_samples=7, key=jax.random.PRNGKey(1)
+        )
+    approx(m2, m2_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_bucketed_missingness_change_reuses_program():
+    # Missingness pattern is DATA, not structure: it rides in through the
+    # traced row masks, so a dataset with different NaN placement reuses
+    # the same executable.
+    x1, y1 = _data(n=40, missing=True, seed=1)
+    x2, y2 = _data(n=47, missing=True, seed=9)
+    reg = GPARRegressor(noise=0.1, impute=True, normalise_y=True)
+    # Snapshot the fresh initial hyperparameters so the second fit (after
+    # the program is cached) starts from the same state a fresh instance
+    # would — refits otherwise continue from the optimised latents
+    # (reference semantics, gpar/regression.py:436-441).
+    reg.condition(x1, y1)
+    reg._ensure_vars(reg.p)
+    z_init = reg.vs.snapshot()
+    reg.fit(x1, y1, iters=2, key=jax.random.PRNGKey(0))
+    n_keys = len([k for k in reg._jit_cache if k[0] == "fit_fused"])
+    reg.vs.restore(z_init)
+    reg.fit(x2, y2, iters=2, key=jax.random.PRNGKey(1))
+    assert (
+        len([k for k in reg._jit_cache if k[0] == "fit_fused"]) == n_keys
+    )
+    # Oracle: the reused program matches a fresh exact-shape fit on the
+    # SECOND dataset (inits are data-independent, so fresh == restored).
+    with _no_buckets():
+        ref = GPARRegressor(noise=0.1, impute=True, normalise_y=True)
+        ref.fit(x2, y2, iters=2, key=jax.random.PRNGKey(1))
+    approx(
+        reg.last_fit_report["layer_nll"],
+        ref.last_fit_report["layer_nll"],
+        rtol=1e-6,
+        atol=1e-8,
+    )

@@ -176,6 +176,16 @@ def test_free_fused_fit_matches_driver(kw):
     )
     assert rf0.last_fit_report["fused"] and not rd0.last_fit_report["fused"]
 
+    # The unrolled free body (fused="unroll") remains the oracle between
+    # the driver and the scan body: strict at iters=0.
+    ru0 = GPARRegressor(**kw)
+    ru0.fit(x, y, iters=0, fix=False, fused="unroll", key=key)
+    approx(
+        ru0.last_fit_report["layer_nll"],
+        rd0.last_fit_report["layer_nll"],
+        atol=1e-8,
+    )
+
     # With optimisation: same math, trajectories may drift at rounding
     # level through linesearch accept/reject decisions.
     rf = GPARRegressor(**kw)
@@ -190,6 +200,42 @@ def test_free_fused_fit_matches_driver(kw):
     )
     for n_ in rd.vs.names:
         approx(rf.vs[n_], rd.vs[n_], rtol=2e-3, atol=2e-3)
+
+
+def test_free_scan_fit_compile_size_o1_in_p():
+    # VERDICT r3 №3: fit(fix=False) must compile one layer body instead
+    # of the unrolled builder's O(p^2/2) — the lowered HLO of the scan
+    # free body must not grow with p (only shapes change).
+    import jax.numpy as jnp
+
+    from gpar_tpu.models.fused import (
+        build_scan_fit_plan,
+        make_scan_free_fit_body,
+    )
+
+    sizes = {}
+    for p in (3, 6):
+        x, y = _data(n=24, p=p)
+        reg = GPARRegressor(noise=0.1, normalise_y=True)
+        reg.condition(x, y)
+        reg._ensure_vars(reg.p)
+        names = reg.vs.select(None)
+        plan = build_scan_fit_plan(reg, names)
+        body = make_scan_free_fit_body(plan, None, 5, 1e-9, 10, 1, 1.0)
+        z = reg.vs.latent_vector(names)
+        keys = jnp.zeros((p, 2), dtype=jnp.uint32)
+        txt = jax.jit(body).lower(z, reg.x, keys).as_text()
+        sizes[p] = len(txt.splitlines())
+    assert sizes[6] < 1.3 * sizes[3], sizes
+
+
+def test_free_fit_batched_body_rejected():
+    # fused="batched" optimises layers independently; fix=False optimises
+    # them jointly — the combination must raise, not silently mis-fit.
+    x, y = _data()
+    reg = GPARRegressor(noise=0.1, normalise_y=True)
+    with pytest.raises(ValueError, match="batched"):
+        reg.fit(x, y, iters=2, fix=False, fused="batched")
 
 
 @pytest.mark.parametrize("latent", [False, True], ids=["observed", "latent"])
@@ -706,14 +752,64 @@ def test_ancestral_tail_sample_chunk_matches_vmap():
     reg.fit(x, y, iters=3, key=jax.random.PRNGKey(0))
     x_test = np.linspace(0, 6, 13)
     key = jax.random.PRNGKey(11)
-    s_full = reg.sample(x_test, posterior=True, num_samples=5, key=key)
+    prev = config.predict_sample_chunk
     try:
+        config.predict_sample_chunk = None  # unchunked reference
+        s_full = reg.sample(x_test, posterior=True, num_samples=5, key=key)
         config.predict_sample_chunk = 2  # 5 samples -> 3 chunks, 1 padded
         s_chunk = reg.sample(x_test, posterior=True, num_samples=5, key=key)
     finally:
-        config.predict_sample_chunk = None
+        config.predict_sample_chunk = prev
     for a, b in zip(s_full, s_chunk):
         approx(a, b, atol=1e-12)
+
+
+def test_sample_chunk_auto_sizing_matches_unchunked():
+    # predict_sample_chunk="auto" (the default) sizes chunks from
+    # predict_memory_budget (VERDICT r3 №5): under a deliberately tiny
+    # budget a replace=False predict must run chunked WITHOUT the user
+    # touching the chunk knob and bit-match the unchunked tail.
+    from gpar_tpu import config
+    from gpar_tpu.models.fused import resolve_sample_chunk
+
+    # The sizing rule itself: 4 live (chunk, n_test, n_test) f64 buffers.
+    assert resolve_sample_chunk("auto", 200, 64, np.float64, 1 << 20) == 8
+    assert resolve_sample_chunk("auto", 8, 64, np.float64, 1 << 30) is None
+    assert resolve_sample_chunk(None, 200, 64, np.float64, 1) is None
+    assert resolve_sample_chunk(0, 200, 64, np.float64, 1) is None
+    assert resolve_sample_chunk(7, 200, 64, np.float64, 1) == 7
+    # Even a sub-single-sample budget clamps to chunk=1, never 0.
+    assert resolve_sample_chunk("auto", 4, 4096, np.float64, 1) == 1
+
+    x, y = _data()
+    reg = GPARRegressor(noise=0.1, replace=False, normalise_y=True)
+    reg.fit(x, y, iters=3, key=jax.random.PRNGKey(0))
+    x_test = np.linspace(0, 6, 13)
+    key = jax.random.PRNGKey(13)
+    assert config.predict_sample_chunk == "auto"  # the default
+    prev_budget = config.predict_memory_budget
+    prev_chunk = config.predict_sample_chunk
+    try:
+        config.predict_sample_chunk = None
+        m_full, lo_full, hi_full = reg.predict(
+            x_test, num_samples=6, credible_bounds=True, key=key
+        )
+        config.predict_sample_chunk = "auto"
+        # 13x13 f64 covariances: 4 buffers ~5.4 KB/sample; 12 KB forces
+        # chunk=2 over the 6 samples.
+        config.predict_memory_budget = 12_000
+        assert (
+            resolve_sample_chunk("auto", 6, 13, np.float64, 12_000) == 2
+        )
+        m_auto, lo_auto, hi_auto = reg.predict(
+            x_test, num_samples=6, credible_bounds=True, key=key
+        )
+    finally:
+        config.predict_memory_budget = prev_budget
+        config.predict_sample_chunk = prev_chunk
+    approx(m_full, m_auto, atol=1e-12)
+    approx(lo_full, lo_auto, atol=1e-12)
+    approx(hi_full, hi_auto, atol=1e-12)
 
 
 @pytest.mark.parametrize("replace", [False, True])

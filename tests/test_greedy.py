@@ -211,6 +211,42 @@ def test_greedy_batched_scorer_recovers_known_permutation():
     assert not any(k[0] == "greedy_nll" for k in reg._jit_cache)
 
 
+def test_greedy_under_mesh_batched_matches_single_device():
+    # VERDICT r3 №4: the batched candidate scorer runs under an active
+    # mesh too — the candidate axis is sharded over the devices — so
+    # greedy under a mesh with HETEROGENEOUS missingness compiles O(p)
+    # programs (not the per-candidate scorer's O(p^2)) and recovers the
+    # single-device ordering exactly (identical full-row masked math).
+    import gpar_tpu
+    from gpar_tpu.parallel.sharded import make_mesh
+
+    rng = np.random.default_rng(5)
+    n = 48
+    x = np.linspace(0.0, 10.0, n)
+    a = np.sin(x) + 0.3 * rng.standard_normal(n)
+    b = 2.0 * a + 0.05 * rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    y = np.stack([b, c, a], axis=1)
+    y[rng.permutation(n)[:5], 0] = np.nan
+    y[rng.permutation(n)[:9], 1] = np.nan
+    y[rng.permutation(n)[:3], 2] = np.nan
+
+    reg_single = GPARRegressor(noise=0.1, compat=False)
+    reg_single.fit(x, y, greedy=True, iters=30)
+
+    reg_mesh = GPARRegressor(noise=0.1, compat=False)
+    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+        reg_mesh.fit(x, y, greedy=True, iters=30)
+    assert reg_mesh.order.tolist() == reg_single.order.tolist() == [2, 0, 1]
+    # O(p) compiles under the mesh: one batched program per position, and
+    # the per-candidate scorer never ran.
+    batch_keys = [k for k in reg_mesh._jit_cache if k[0] == "greedy_batch"]
+    assert len(batch_keys) == 3
+    assert not any(k[0] == "greedy_nll" for k in reg_mesh._jit_cache)
+    mean = reg_mesh.predict(x, num_samples=8)
+    assert np.isfinite(mean).all()
+
+
 def test_greedy_batched_scores_match_per_candidate():
     # The vmapped masked-row scorer must reproduce the filtered-row
     # per-candidate scorer's optimised NLLs (identical inits; masked rows
