@@ -263,6 +263,44 @@ def test_bucketed_fit_predict_reuses_program_across_datasets():
     approx(m2, m2_ref, rtol=1e-6, atol=1e-8)
 
 
+def test_bucketed_free_fit_matches_exact():
+    # fit(fix=False) dispatches through the same bucketed machinery
+    # (make_scan_free_fit_body(rows_traced=True)): the padded rows are
+    # neutral inside EVERY prefix-chain objective evaluation, so the
+    # jointly-optimised latents match the exact-shape program.
+    x, y = _data(n=40)
+    key = jax.random.PRNGKey(2)
+    rb = GPARRegressor(noise=0.1, impute=True, normalise_y=True)
+    rb.fit(x, y, fix=False, iters=4, key=key)
+    with _no_buckets():
+        re = GPARRegressor(noise=0.1, impute=True, normalise_y=True)
+        re.fit(x, y, fix=False, iters=4, key=key)
+    approx(
+        rb.last_fit_report["layer_nll"],
+        re.last_fit_report["layer_nll"],
+        rtol=1e-6,
+        atol=1e-8,
+    )
+    for n_ in re.vs.names:
+        approx(rb.vs[n_], re.vs[n_], rtol=1e-5, atol=1e-6)
+
+
+def test_bucketed_markov_fit_predict_matches_exact():
+    # markov=1 changes the availability structure (which augmented columns
+    # each layer reads) — structure lives in the compiled program, the
+    # row data rides in traced; the bucketed serve matches exact-shape.
+    x, y = _data(n=40)
+    x_test = np.linspace(0, 6, 17)
+    key = jax.random.PRNGKey(4)
+    kw = dict(noise=0.1, markov=1, replace=True, normalise_y=True)
+    rb = GPARRegressor(**kw)
+    mb = rb.fit_predict(x, y, x_test, iters=3, num_samples=6, key=key)
+    with _no_buckets():
+        re = GPARRegressor(**kw)
+        me = re.fit_predict(x, y, x_test, iters=3, num_samples=6, key=key)
+    approx(mb, me, rtol=1e-6, atol=1e-8)
+
+
 def test_bucketed_missingness_change_reuses_program():
     # Missingness pattern is DATA, not structure: it rides in through the
     # traced row masks, so a dataset with different NaN placement reuses
