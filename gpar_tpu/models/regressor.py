@@ -692,6 +692,8 @@ class GPARRegressor:
         """
         from ..config import config as _cfg
 
+        from ..config import bucket_rows
+
         vs = Vars()
         _model_generator(vs, self.m, position, **self.model_config)()
         names = vs.select(None)
@@ -706,6 +708,24 @@ class GPARRegressor:
                     [a, np.repeat(a[:1], c_pad, axis=0)]
                 )
                 ys, ws, masks = pad(ys), pad(ws), pad(masks)
+        # Shape-bucketed rows (config.shape_buckets): every array is
+        # already a traced argument, so padding the row axis to the bucket
+        # (y -> 0, w -> 1, mask -> 0 — masked rows are exactly neutral in
+        # both the Titsias ELBO and the masked dense logpdf, the same
+        # construction the fit bodies pin) makes the compiled scorer
+        # dataset-independent: a second dataset with any row count inside
+        # the bucket reuses all O(p) position programs.
+        n_b = bucket_rows(ys.shape[1])
+        if n_b > ys.shape[1]:
+            r_pad = n_b - ys.shape[1]
+            x_aug = np.concatenate(
+                [x_aug, np.zeros((r_pad, x_aug.shape[1]), x_aug.dtype)]
+            )
+            ys = np.concatenate([ys, np.zeros((ys.shape[0], r_pad), ys.dtype)], axis=1)
+            ws = np.concatenate([ws, np.ones((ws.shape[0], r_pad), ws.dtype)], axis=1)
+            masks = np.concatenate(
+                [masks, np.zeros((masks.shape[0], r_pad), masks.dtype)], axis=1
+            )
         C, n = ys.shape
 
         cache_key = (

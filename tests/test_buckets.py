@@ -263,6 +263,31 @@ def test_bucketed_fit_predict_reuses_program_across_datasets():
     approx(m2, m2_ref, rtol=1e-6, atol=1e-8)
 
 
+def test_bucketed_greedy_reuses_scorer_and_matches_exact():
+    # The batched greedy scorer pads its row axis to the bucket (masked
+    # rows are exactly neutral), so a second dataset with a different row
+    # count inside the bucket reuses all O(p) position programs — and the
+    # recovered ordering matches the exact-shape scorer.
+    x1, y1 = _data(n=40, missing=True, seed=3)
+    x2, y2 = _data(n=50, missing=True, seed=8)
+    assert bucket_rows(40) == bucket_rows(50)
+    reg = GPARRegressor(noise=0.1, impute=True, normalise_y=True,
+                        compat=False)
+    reg.fit(x1, y1, greedy=True, iters=2, key=jax.random.PRNGKey(0))
+    order1 = np.asarray(reg.order).copy()
+    greedy_keys = [k for k in reg._jit_cache if k[0] == "greedy_batch"]
+    assert len(greedy_keys) == y1.shape[1]  # one per position
+    reg.fit(x2, y2, greedy=True, iters=2, key=jax.random.PRNGKey(1))
+    assert [
+        k for k in reg._jit_cache if k[0] == "greedy_batch"
+    ] == greedy_keys  # no new scorer compiles for the second dataset
+    with _no_buckets():
+        re1 = GPARRegressor(noise=0.1, impute=True, normalise_y=True,
+                            compat=False)
+        re1.fit(x1, y1, greedy=True, iters=2, key=jax.random.PRNGKey(0))
+    assert np.array_equal(order1, np.asarray(re1.order))
+
+
 def test_bucketed_free_fit_matches_exact():
     # fit(fix=False) dispatches through the same bucketed machinery
     # (make_scan_free_fit_body(rows_traced=True)): the padded rows are
