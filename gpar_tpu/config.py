@@ -155,7 +155,9 @@ class _Config:
         #: per-shape cold XLA compile.  Applies to the single-device
         #: scan-fused paths (mesh programs pad to the device geometry and
         #: commit their data at build time; unrolled fallbacks bake the
-        #: data's NaN plan).  False: compile exactly at the data shape.
+        #: data's NaN plan) and to the batched greedy scorer's row axis
+        #: (single-device and mesh).  False: compile exactly at the data
+        #: shape.
         self.shape_buckets = True
         #: Geometric ratio between consecutive row buckets: padding wastes
         #: at most ~(ratio - 1) of the rows and the number of distinct
