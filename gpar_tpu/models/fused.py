@@ -166,6 +166,50 @@ class ScanFitPlan:
     replace: bool
 
 
+def plan_static_fingerprint(plan):
+    """Byte-level fingerprint of everything a shape-bucketed program bakes
+    into its trace: the plan scalars, the model-config switches, and the
+    data-INDEPENDENT per-layer scan inputs (index maps + gates — the
+    non-:data:`_ROW_KEYS` arrays, which enter the compiled HLO as
+    constants via :func:`_static_plan_xs`).  Two regressor instances with
+    equal fingerprints trace byte-identical bucketed programs (the
+    per-ROW arrays, inducing inputs, and normalisation stats all ride in
+    as traced arguments), so their jitted executables are interchangeable
+    — the key for the cross-instance program cache
+    (``regressor._shared_jit``).  Fingerprints cover greedy reordering
+    (a different output order changes the gather maps' bytes)."""
+    import hashlib
+
+    def _scalar(v):
+        if isinstance(v, (np.ndarray, list, tuple)):
+            a = np.asarray(v)
+            return (str(a.dtype), a.shape, a.tobytes())
+        return repr(v)
+
+    h = hashlib.sha256()
+    cfg = tuple(sorted((k, _scalar(v)) for k, v in plan.config.items()))
+    h.update(
+        repr(
+            (
+                # NOT plan.n: the dataset's row count must not split the
+                # cache — sharing across datasets in one bucket is the
+                # point (the bucket size n_b is already in the jit key).
+                plan.m, plan.p, plan.W, plan.s_max, plan.n_z,
+                plan.sparse, plan.impute, plan.replace, cfg,
+            )
+        ).encode()
+    )
+    for k in sorted(plan.xs):
+        if k in _ROW_KEYS:
+            continue
+        v = np.ascontiguousarray(np.asarray(plan.xs[k]))
+        h.update(k.encode())
+        h.update(str(v.dtype).encode())
+        h.update(repr(v.shape).encode())
+        h.update(v.tobytes())
+    return h.hexdigest()
+
+
 def _name_offsets(vs, all_names):
     offsets = {}
     off = 0
@@ -496,6 +540,64 @@ def _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps):
     return -logpdf, (K, alpha)
 
 
+def _mesh_layer_nll_factors(
+    plan, lin, z_full, x_aug, zi_aug, eps, shard_axis, dense_block, n_dev
+):
+    """Mesh (shard_map-local) layer NLL + posterior-mean factors — the
+    distributed counterpart of :func:`_layer_nll_factors`, evaluated on one
+    row shard with cross-device collectives.  Shared by the fixed scan fit
+    body and the free (fix=False) chain objective under a mesh.
+
+    - Sparse plans: the layer ELBO reduces through
+      :func:`gpar_tpu.parallel.sharded.titsias_psum_body` (one (m, m) psum
+      + one scalar psum per evaluation) — O(n m²/P) per device.
+    - Dense plans: the masked covariance rows are built locally
+      (``gram(kernel, x_local, x_full)`` after one (n, W) all_gather) and
+      factorised cooperatively by the distributed blocked Cholesky with
+      its distributed custom-VJP backward
+      (``parallel/dense._chol_logpdf_core``) — O(n³/P) compute and
+      O(n²/P) memory per device.
+    """
+    kernel, noise = _layer_kernel(plan, lin, z_full)
+    # Same float32 noise floor as gp/core._noise_vec (f64 no-op) —
+    # keeps scan and unrolled objectives bit-consistent.
+    noise_w = floor_noise(noise / lin["w_col"])
+    omask = lin["obs_mask"]
+    r = lin["y_col"]  # zero-filled; masked rows neutralised
+    if plan.sparse:
+        from ..parallel.sharded import titsias_psum_body
+
+        Kmm = gram(kernel, zi_aug, zi_aug)
+        Lm = safe_cholesky(Kmm)
+        Kmn = gram(kernel, zi_aug, x_aug)  # (m, n_local)
+        A0 = solve_lower(Lm, Kmn)
+        knn = kdiag(kernel, x_aug)
+        elbo, LB, beta = titsias_psum_body(
+            Lm, A0, knn, r, noise_w, omask, shard_axis
+        )
+        return -elbo, (Kmm, Kmn, beta)
+    # Distributed masked dense factors: the same construction as
+    # parallel/dense.sharded_dense_factors, but on the scan's per-layer
+    # masks (padding and per_output routing are both just masked-out
+    # identity rows).
+    from ..parallel.dense import _chol_logpdf_core
+
+    n_local = x_aug.shape[0]
+    n_tot = n_local * n_dev
+    x_full = lax.all_gather(x_aug, shard_axis, axis=0, tiled=True)
+    mask_full = lax.all_gather(omask, shard_axis, axis=0, tiled=True)
+    K_local = gram(kernel, x_aug, x_full)
+    A_local = K_local * (omask[:, None] * mask_full[None, :])
+    grows = lax.axis_index(shard_axis) * n_local + jnp.arange(n_local)
+    col_is_diag = grows[:, None] == jnp.arange(n_tot)[None, :]
+    diag_term = omask * (noise_w + eps) + (1.0 - omask)
+    A_local = A_local + jnp.where(col_is_diag, diag_term[:, None], 0.0)
+    logpdf, _L_local, alpha = _chol_logpdf_core(
+        (shard_axis, dense_block), A_local, r * omask, omask
+    )
+    return -logpdf, (K_local, alpha)
+
+
 def _est_from_factors(plan, factors):
     """Posterior-mean estimates at the data rows (and inducing points,
     sparse) from :func:`_layer_nll_factors`'s factors — the quantities the
@@ -564,6 +666,36 @@ def _plan_xs(xs_np, xs_dev):
     if xs_dev is not None:
         return dict(xs_dev)
     return {k: jnp.asarray(v) for k, v in xs_np.items()}
+
+
+def _shard_plan_xs(xs_np, mesh, shard_axis, n_pad):
+    """Pad the plan's per-ROW arrays (:data:`_ROW_KEYS`) to the device
+    geometry host-side and install everything on the mesh with explicit
+    shardings at BUILD time: row arrays shard along ``shard_axis``, the
+    rest replicate.  Closing over committed ``jax.Array``s (instead of
+    numpy constants materialised inside the trace) keeps this data out of
+    XLA's constant folder — whose evaluation through the shard_map
+    collectives was observed to be WRONG on some hosts (NaN objectives on
+    XLA:CPU; the identical program with the data as parameters is
+    correct; PERF.md finding 18) — and out of the compiled program's
+    literal pool.  ``w_col`` pads with 1 (it divides the noise);
+    masks/data with 0 — masked rows contribute exactly nothing
+    (``titsias_psum_body`` / identity rows in the dense factor).  Shared
+    by the fixed and free mesh fit bodies."""
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    xs_dev = {}
+    for k, v in xs_np.items():
+        v = np.asarray(v)
+        if k in _ROW_KEYS:
+            if n_pad:
+                cval = 1.0 if k == "w_col" else 0.0
+                v = np.pad(v, ((0, 0), (0, n_pad)), constant_values=cval)
+            sharding = NamedSharding(mesh, PSpec(None, shard_axis))
+        else:
+            sharding = NamedSharding(mesh, PSpec())
+        xs_dev[k] = jax.device_put(v, sharding)
+    return xs_dev
 
 
 def _pop_x_ind(xs_rows):
@@ -712,48 +844,10 @@ def make_scan_fit_body(
         def layer_nll_and_factors(lin, z_full, x_aug, zi_aug):
             if mesh is None:
                 return _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps)
-            kernel, noise = _layer_kernel(plan, lin, z_full)
-            # Same float32 noise floor as gp/core._noise_vec (f64 no-op) —
-            # keeps scan and unrolled objectives bit-consistent.
-            noise_w = floor_noise(noise / lin["w_col"])
-            omask = lin["obs_mask"]
-            r = lin["y_col"]  # zero-filled; masked rows neutralised
-            if sparse:
-                from ..parallel.sharded import titsias_psum_body
-
-                Kmm = gram(kernel, zi_aug, zi_aug)
-                Lm = safe_cholesky(Kmm)
-                Kmn = gram(kernel, zi_aug, x_aug)  # (m, n_local)
-                A0 = solve_lower(Lm, Kmn)
-                knn = kdiag(kernel, x_aug)
-                elbo, LB, beta = titsias_psum_body(
-                    Lm, A0, knn, r, noise_w, omask, shard_axis
-                )
-                return -elbo, (Kmm, Kmn, beta)
-            # Distributed masked dense factors: the same construction
-            # as parallel/dense.sharded_dense_factors, but on the
-            # scan's per-layer masks (padding and per_output routing
-            # are both just masked-out identity rows).
-            from ..parallel.dense import _chol_logpdf_core
-
-            n_local = x_aug.shape[0]
-            n_tot = n_local * mesh.devices.size
-            x_full = lax.all_gather(x_aug, shard_axis, axis=0, tiled=True)
-            mask_full = lax.all_gather(omask, shard_axis, axis=0, tiled=True)
-            K_local = gram(kernel, x_aug, x_full)
-            A_local = K_local * (omask[:, None] * mask_full[None, :])
-            grows = lax.axis_index(shard_axis) * n_local + jnp.arange(
-                n_local
+            return _mesh_layer_nll_factors(
+                plan, lin, z_full, x_aug, zi_aug, eps, shard_axis,
+                dense_block, mesh.devices.size,
             )
-            col_is_diag = grows[:, None] == jnp.arange(n_tot)[None, :]
-            diag_term = omask * (noise_w + eps) + (1.0 - omask)
-            A_local = A_local + jnp.where(
-                col_is_diag, diag_term[:, None], 0.0
-            )
-            logpdf, _L_local, alpha = _chol_logpdf_core(
-                (shard_axis, dense_block), A_local, r * omask, omask
-            )
-            return -logpdf, (K_local, alpha)
 
         def step(carry, lin):
             z_ext, x_aug, zi_aug = carry
@@ -824,34 +918,7 @@ def make_scan_fit_body(
     else:
         # The distributed Cholesky needs per-device rows in whole panels.
         n_pad = n_dev * _nloc - n
-    # Per-layer scan inputs carrying one value per data row (sharded along
-    # the row axis); everything else is replicated.
-    row_keys = _ROW_KEYS
-
-    from jax.sharding import NamedSharding
-
-    # Pad the per-layer row arrays host-side and install them on the mesh
-    # with explicit shardings at BUILD time.  Closing over committed
-    # ``jax.Array``s (instead of numpy constants materialised inside the
-    # trace) keeps this data out of XLA's constant folder — whose
-    # evaluation through the shard_map collectives was observed to be
-    # WRONG on some hosts (NaN objectives on XLA:CPU; the identical
-    # program with the data as parameters is correct) — and out of the
-    # compiled program's literal pool.
-    xs_dev = {}
-    for k, v in xs_np.items():
-        v = np.asarray(v)
-        if k in row_keys:
-            if n_pad:
-                # w pads with 1 (it divides the noise); masks/data with
-                # 0 — masked rows contribute exactly nothing
-                # (titsias_psum_body / identity rows in the dense factor).
-                cval = 1.0 if k == "w_col" else 0.0
-                v = np.pad(v, ((0, 0), (0, n_pad)), constant_values=cval)
-            sharding = NamedSharding(mesh, PSpec(None, shard_axis))
-        else:
-            sharding = NamedSharding(mesh, PSpec())
-        xs_dev[k] = jax.device_put(v, sharding)
+    xs_dev = _shard_plan_xs(xs_np, mesh, shard_axis, n_pad)
 
     def program(z_all, x, layer_keys):
         x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
@@ -859,7 +926,7 @@ def make_scan_fit_body(
         xs["key"] = layer_keys
 
         xs_specs = {
-            k: PSpec(None, shard_axis) if k in row_keys else PSpec()
+            k: PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec()
             for k in xs
         }
 
@@ -969,7 +1036,7 @@ def make_batched_fit_body(plan, iters, gtol, memory_size, restarts, restart_scal
 
 def make_scan_free_fit_body(
     plan, x_ind, iters, gtol, memory_size, restarts, restart_scale,
-    rows_traced=False,
+    rows_traced=False, mesh=None, shard_axis="dp",
 ):
     """The scan-fused whole-fit body for ``fit(fix=False)`` — compile
     O(1) in p.
@@ -1004,13 +1071,32 @@ def make_scan_free_fit_body(
     ``_build_free_fused_fit_body`` (the reported ``layer_nll`` is the
     full prefix-chain NLL per position); oracle-tested against the
     per-layer driver (``tests/test_fused_scan.py::
-    test_free_fused_fit_matches_driver``).  Single-device only: under an
-    active mesh the estimator falls back to the unrolled free body,
-    which shards its per-layer statistics through the GP core.
+    test_free_fused_fit_matches_driver``).
+
+    With ``mesh`` set, the whole two-level scan runs inside one
+    ``shard_map`` over the mesh — the same geometry as the fixed body's
+    mesh path (:func:`make_scan_fit_body`): data rows and every per-row
+    scan input shard over ``shard_axis``, the L-BFGS state stays
+    replicated in lockstep, and each chain evaluation reduces through
+    :func:`_mesh_layer_nll_factors` — cold compile O(1) in p AND
+    per-device work O(1/P) in n on the fix=False path too (the O(p²/2)
+    unrolled mesh fallback survives only as the ``fused="unroll"``
+    oracle).  ``rows_traced`` (shape bucketing) remains single-device.
     """
+    if mesh is not None and rows_traced:
+        raise ValueError("shape-bucketed free fits are single-device")
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
+
+    dense_block = None
+    if mesh is not None and not sparse:
+        from ..config import config as _cfg
+        from ..parallel.dense import _pad_geometry
+
+        _nloc, dense_block = _pad_geometry(
+            n, mesh.devices.size, _cfg.dense_shard_block
+        )
 
     # Per-position prefix gathers (the names=[f"{i}/*" for i in 0..pi]
     # filter) padded with the dummy slot.  Spans are disjoint by
@@ -1023,21 +1109,13 @@ def make_scan_free_fit_body(
         idx = np.concatenate([row[row != dummy] for row in lg[: pi + 1]])
         prefix_gather[pi, : len(idx)] = idx
 
-    def program(z_all, x, layer_keys, xs_rows=None):
-        dtype = x.dtype
+    def _free_chain(z_all, x_local, xs, layer_keys, pg_all, gates, zi_t=None):
+        """The shared two-level scan; ``x_local``/per-row ``xs`` entries
+        may be the full data (single-device) or one shard (mesh mode)."""
+        dtype = x_local.dtype
         eps = resolve_epsilon(dtype)
-        xs_rows, zi_t = _pop_x_ind(xs_rows)
-        if rows_traced:
-            xs = _static_plan_xs(xs_np)
-            xs.update(xs_rows)
-        else:
-            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
-        gates = jnp.asarray(
-            np.tril(np.ones((p, p))), dtype=dtype
-        )  # gates[pi, l] = layer l contributes at position pi
-        pg_all = jnp.asarray(prefix_gather)
         x_aug0 = jnp.concatenate(
-            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+            [x_local, jnp.zeros((x_local.shape[0], W - m), dtype)], axis=1
         )
         if sparse:
             zi = _zi(x_ind, zi_t, dtype)
@@ -1047,6 +1125,14 @@ def make_scan_free_fit_body(
         else:
             zi_aug0 = jnp.zeros((0, W), dtype)
 
+        def layer_eval(lin, z_full, x_aug, zi_aug):
+            if mesh is None:
+                return _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps)
+            return _mesh_layer_nll_factors(
+                plan, lin, z_full, x_aug, zi_aug, eps, shard_axis,
+                dense_block, mesh.devices.size,
+            )
+
         def chain_nll(z_ext, gate):
             """Gated full-chain NLL: one scan over ALL p layers from the
             raw inputs (the reference's full re-evaluation per objective
@@ -1055,9 +1141,7 @@ def make_scan_free_fit_body(
             def step(carry, lin_g):
                 lin, g = lin_g
                 x_aug, zi_aug = carry
-                nll, factors = _layer_nll_factors(
-                    plan, lin, z_ext, x_aug, zi_aug, eps
-                )
+                nll, factors = layer_eval(lin, z_ext, x_aug, zi_aug)
                 est_rows, est_ind = _est_from_factors(plan, factors)
                 x_aug, zi_aug = _augment_cols(
                     plan, lin, est_rows, est_ind, x_aug, zi_aug
@@ -1097,6 +1181,61 @@ def make_scan_free_fit_body(
             position_step, z_ext, (pg_all, gates, layer_keys)
         )
         return z_ext[:-1], layer_nll, layer_iters, layer_nll0
+
+    # gates[pi, l] = layer l contributes at position pi
+    gates_np = np.tril(np.ones((p, p), dtype=np.asarray(xs_np["y_col"]).dtype))
+
+    if mesh is None:
+
+        def program(z_all, x, layer_keys, xs_rows=None):
+            xs_rows, zi_t = _pop_x_ind(xs_rows)
+            if rows_traced:
+                xs = _static_plan_xs(xs_np)
+                xs.update(xs_rows)
+            else:
+                xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+            gates = jnp.asarray(gates_np, dtype=x.dtype)
+            pg_all = jnp.asarray(prefix_gather)
+            return _free_chain(z_all, x, xs, layer_keys, pg_all, gates, zi_t)
+
+        return program
+
+    from jax.sharding import NamedSharding, PartitionSpec as PSpec
+
+    n_dev = mesh.devices.size
+    if sparse:
+        n_pad = (-n) % n_dev
+    else:
+        # The distributed Cholesky needs per-device rows in whole panels.
+        n_pad = n_dev * _nloc - n
+    xs_dev = _shard_plan_xs(xs_np, mesh, shard_axis, n_pad)
+    # The position-scan constants enter as committed replicated parameters
+    # too (the shard_map constant-folding hazard, PERF.md finding 18).
+    rep = NamedSharding(mesh, PSpec())
+    pg_dev = jax.device_put(prefix_gather, rep)
+    gates_dev = jax.device_put(gates_np, rep)
+
+    def program(z_all, x, layer_keys):
+        x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
+        xs = dict(xs_dev)
+        xs_specs = {
+            k: PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec()
+            for k in xs
+        }
+
+        def local(z_all, x_loc, xs_loc, keys, pg, gates):
+            return _free_chain(z_all, x_loc, xs_loc, keys, pg, gates)
+
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                PSpec(), PSpec(shard_axis), xs_specs, PSpec(), PSpec(),
+                PSpec(),
+            ),
+            out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
+        )
+        return fn(z_all, x_p, xs, layer_keys, pg_dev, gates_dev)
 
     return program
 

@@ -20,6 +20,8 @@ Differences from the reference are TPU-idiomatic, not semantic:
 - The per-layer L-BFGS fit runs as a single XLA while-loop per layer.
 """
 
+import collections
+
 import numpy as np
 
 import jax
@@ -248,6 +250,41 @@ def _fingerprint(*arrays):
         h.update(str(a.dtype).encode())
         h.update(a.tobytes())
     return h.hexdigest()
+
+
+#: Cross-instance cache of jitted SHAPE-BUCKETED programs.  Bucketed
+#: programs are dataset-independent by construction (every data-derived
+#: value rides in as a traced argument), so two ``GPARRegressor``
+#: instances whose plans fingerprint equal (``fused.
+#: plan_static_fingerprint`` + the compat flag + the transform functions)
+#: trace byte-identical programs — sharing the ``jax.jit`` object makes a
+#: NEW estimator instance on a new dataset hit the already-traced,
+#: already-compiled executable instead of re-tracing and re-loading it
+#: from the persistent XLA cache (measured 74.4 s vs 6.1 s warm on the
+#: r4 stress bench's second-dataset probe; PERF.md finding 22).  Bounded
+#: LRU; non-bucketed programs stay in the per-instance ``_jit_cache``
+#: (their traces bake the dataset).
+_SHARED_JIT_CACHE = collections.OrderedDict()
+_SHARED_JIT_CAP = 64
+
+
+def _shared_jit(key, pins, build):
+    """Lookup-or-build in the cross-instance bucketed-program cache.
+
+    ``pins`` are objects the entry must keep alive: the cache key includes
+    ``id()`` of the instance's transform functions (identity of code, the
+    only robust equality for user-supplied callables), and a pinned
+    reference prevents a garbage-collected function's id from being
+    reused by a DIFFERENT transform while the entry still lives."""
+    ent = _SHARED_JIT_CACHE.get(key)
+    if ent is not None:
+        _SHARED_JIT_CACHE.move_to_end(key)
+        return ent[0]
+    fn = build()
+    _SHARED_JIT_CACHE[key] = (fn, pins)
+    if len(_SHARED_JIT_CACHE) > _SHARED_JIT_CAP:
+        _SHARED_JIT_CACHE.popitem(last=False)
+    return fn
 
 
 def _init_weights(w, y):
@@ -1123,8 +1160,8 @@ class GPARRegressor:
             mesh_descriptor(),
             None if bucketed else self._data_fingerprint,
         )
-        fit_fn = self._jit_cache.get(cache_key)
-        if fit_fn is None:
+
+        def _build():
             program = self._build_fit_body(
                 y_cached,
                 all_names,
@@ -1137,8 +1174,22 @@ class GPARRegressor:
                 fix,
                 rows_traced=bucketed,
             )
-            fit_fn = jax.jit(program)
-            self._jit_cache[cache_key] = fit_fn
+            return jax.jit(program)
+
+        if bucketed:
+            # Bucketed programs are dataset-independent: share the jitted
+            # executable ACROSS estimator instances (a new instance on a
+            # new dataset skips re-tracing; PERF.md finding 22).
+            fit_fn = _shared_jit(
+                cache_key + self._bucket_share_key(plan),
+                self._transform_pins(),
+                _build,
+            )
+        else:
+            fit_fn = self._jit_cache.get(cache_key)
+            if fit_fn is None:
+                fit_fn = _build()
+                self._jit_cache[cache_key] = fit_fn
         import time as _time
 
         t0 = _time.time()
@@ -1184,8 +1235,8 @@ class GPARRegressor:
         """Whole-fit body builder: the scan (shape-uniform, one compiled
         layer body — ``models/fused.py``), the round-1 unrolled variant
         (one body per layer; shards under an active mesh), or the
-        free (fix=False) full-chain variant (scan-fused single-device,
-        unrolled under a mesh)."""
+        free (fix=False) full-chain variant (scan-fused, single-device
+        or inside one shard_map under a mesh)."""
         if not fix:
             from ..config import config as _cfg
 
@@ -1195,7 +1246,7 @@ class GPARRegressor:
                     "fit(fix=False) optimises layers jointly — use "
                     "fused=True or fused='unroll'."
                 )
-            if scan and _cfg.mesh is None:
+            if scan:
                 from .fused import (
                     build_scan_fit_plan,
                     make_scan_free_fit_body,
@@ -1205,6 +1256,7 @@ class GPARRegressor:
                 return make_scan_free_fit_body(
                     plan, self.x_ind, iters, gtol, memory_size, restarts,
                     restart_scale, rows_traced=rows_traced,
+                    mesh=_cfg.mesh, shard_axis=_cfg.shard_axis,
                 )
             return self._build_free_fused_fit_body(
                 y_cached, all_names, iters, gtol, memory_size, restarts,
@@ -1334,9 +1386,10 @@ class GPARRegressor:
         Compile-size note: the traced program contains the layer-0..pi
         chain once per layer — O(p^2/2) layer bodies.  The scan-fused
         free body (``fused.make_scan_free_fit_body``) compiles O(1) in p
-        and is the single-device default; this unrolled variant remains
-        the ``fused="unroll"`` oracle and the mesh path (its per-layer
-        statistics shard through the GP core's mesh dispatch).
+        and is the default both single-device and under a mesh (where it
+        runs inside one shard_map); this unrolled variant remains the
+        ``fused="unroll"`` oracle (its per-layer statistics shard through
+        the GP core's mesh dispatch).
         """
         p, m = self.p, self.m
 
@@ -1743,10 +1796,19 @@ class GPARRegressor:
             mesh_descriptor(),
             None if bucketed else self._data_fingerprint,
         )
-        fn = self._jit_cache.get(cache_key)
-        if fn is None:
-            fn = jax.jit(program)
-            self._jit_cache[cache_key] = fn
+        if bucketed:
+            # Dataset-independent program: share across instances
+            # (PERF.md finding 22).
+            fn = _shared_jit(
+                cache_key + self._bucket_share_key(plan),
+                self._transform_pins(),
+                lambda: jax.jit(program),
+            )
+        else:
+            fn = self._jit_cache.get(cache_key)
+            if fn is None:
+                fn = jax.jit(program)
+                self._jit_cache[cache_key] = fn
 
         import time as _time
 
@@ -2284,10 +2346,20 @@ class GPARRegressor:
             if bucketed
             else (self._data_fingerprint if posterior else None),
         )
-        sample_fn = self._jit_cache.get(cache_key)
-        if sample_fn is None:
-            sample_fn = jax.jit(full_program)
-            self._jit_cache[cache_key] = sample_fn
+        if bucketed:
+            # Dataset-independent serving program: share across instances
+            # (PERF.md finding 22).
+            sample_fn = _shared_jit(
+                cache_key
+                + self._bucket_share_key(plan if posterior else prior_plan),
+                self._transform_pins(),
+                lambda: jax.jit(full_program),
+            )
+        else:
+            sample_fn = self._jit_cache.get(cache_key)
+            if sample_fn is None:
+                sample_fn = jax.jit(full_program)
+                self._jit_cache[cache_key] = sample_fn
         lead = factors if factors is not None else x_data_in
         if bucketed:
             out = sample_fn(
@@ -2319,6 +2391,25 @@ class GPARRegressor:
         return bool(
             scan == "scan" and _cfg.mesh is None and _cfg.shape_buckets
         )
+
+    def _bucket_share_key(self, plan):
+        """Cross-instance cache-key suffix for a shape-bucketed program:
+        the plan's structural fingerprint (everything baked into the
+        trace: index maps, gates, config switches — greedy reordering
+        included) plus the instance knobs that select code paths inside
+        serving programs (``compat``; the transform functions by
+        identity, pinned alive by :func:`_shared_jit`)."""
+        from .fused import plan_static_fingerprint
+
+        return (
+            plan_static_fingerprint(plan),
+            self.compat,
+            id(self._transform_y),
+            id(self._untransform_y),
+        )
+
+    def _transform_pins(self):
+        return (self._transform_y, self._untransform_y)
 
     def _bucket_fit_inputs(self, plan):
         """Padded (bucket size, x, per-row plan arrays) for the
@@ -2456,22 +2547,33 @@ class GPARRegressor:
         # factor program is keyed on the bucket, and the factors match
         # the bucketed serving tails' shapes.
         bucketed = self._fit_bucketed("scan")
+
+        def _build():
+            return jax.jit(
+                make_scan_posterior_factors(
+                    plan, self.x_ind, mesh=_cfg.mesh, rows_traced=bucketed
+                )
+            )
+
         if bucketed:
             n_b, x_in, xs_rows = self._bucket_fit_inputs(plan)
             jit_key = ("pfactors", self.p, n_b, mesh_descriptor())
+            # Dataset-independent program: share across instances
+            # (PERF.md finding 22).
+            fn = _shared_jit(
+                jit_key + self._bucket_share_key(plan),
+                self._transform_pins(),
+                _build,
+            )
         else:
             x_in, xs_rows = self.x, None
             jit_key = (
                 "pfactors", self.p, mesh_descriptor(), self._data_fingerprint
             )
-        fn = self._jit_cache.get(jit_key)
-        if fn is None:
-            fn = jax.jit(
-                make_scan_posterior_factors(
-                    plan, self.x_ind, mesh=_cfg.mesh, rows_traced=bucketed
-                )
-            )
-            self._jit_cache[jit_key] = fn
+            fn = self._jit_cache.get(jit_key)
+            if fn is None:
+                fn = _build()
+                self._jit_cache[jit_key] = fn
         factors = fn(z, x_in, xs_rows) if bucketed else fn(z, x_in)
         self._factor_cache = (key, factors)
         return factors

@@ -201,17 +201,20 @@ def test_bucketed_fit_reuses_program_across_datasets():
     x2, y2 = _data(n=50, seed=2)
     assert bucket_rows(40) == bucket_rows(50)
 
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
     reg = GPARRegressor(noise=0.1, normalise_y=True)
     reg.condition(x1, y1)
     reg._ensure_vars(reg.p)
     z_init = reg.vs.snapshot()
     reg.fit(x1, y1, iters=3, key=jax.random.PRNGKey(0))
-    keys_after_first = [k for k in reg._jit_cache if k[0] == "fit_fused"]
-    assert len(keys_after_first) == 1
+    # Bucketed programs live in the CROSS-INSTANCE cache (dataset-
+    # independent HLO), not the per-instance _jit_cache.
+    assert not any(k[0] == "fit_fused" for k in reg._jit_cache)
+    keys_after_first = set(_SHARED_JIT_CACHE)
     reg.vs.restore(z_init)
     reg.fit(x2, y2, iters=3, key=jax.random.PRNGKey(1))
-    keys_after_second = [k for k in reg._jit_cache if k[0] == "fit_fused"]
-    assert keys_after_second == keys_after_first  # cache hit, no new entry
+    assert set(_SHARED_JIT_CACHE) == keys_after_first  # hit, no new entry
     # And the reused SERVING programs see the second dataset's
     # normalisation statistics and posterior factors — everything
     # data-derived must ride as traced arguments, not baked constants
@@ -238,18 +241,20 @@ def test_bucketed_fit_predict_reuses_program_across_datasets():
     reg.condition(x1, y1)
     reg._ensure_vars(reg.p)
     z_init = reg.vs.snapshot()
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
     m1 = reg.fit_predict(
         x1, y1, xt1, iters=2, num_samples=5, key=jax.random.PRNGKey(0)
     )
-    fp_keys = [k for k in reg._jit_cache if k[0] == "fit_predict"]
-    assert len(fp_keys) == 1
+    assert not any(k[0] == "fit_predict" for k in reg._jit_cache)
+    fp_keys = set(_SHARED_JIT_CACHE)
     # Different n, n_test, AND num_samples — same buckets, same program
     # (bucketed programs are num_samples-agnostic inside the bucket).
     reg.vs.restore(z_init)
     m2 = reg.fit_predict(
         x2, y2, xt2, iters=2, num_samples=7, key=jax.random.PRNGKey(1)
     )
-    assert [k for k in reg._jit_cache if k[0] == "fit_predict"] == fp_keys
+    assert set(_SHARED_JIT_CACHE) == fp_keys
     assert m1.shape == (20, 3) and m2.shape == (30, 3)
     assert np.isfinite(m1).all() and np.isfinite(m2).all()
     # Oracle on the REUSED serving program: dataset 2's normalisation
@@ -340,13 +345,13 @@ def test_bucketed_missingness_change_reuses_program():
     reg.condition(x1, y1)
     reg._ensure_vars(reg.p)
     z_init = reg.vs.snapshot()
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
     reg.fit(x1, y1, iters=2, key=jax.random.PRNGKey(0))
-    n_keys = len([k for k in reg._jit_cache if k[0] == "fit_fused"])
+    shared_keys = set(_SHARED_JIT_CACHE)
     reg.vs.restore(z_init)
     reg.fit(x2, y2, iters=2, key=jax.random.PRNGKey(1))
-    assert (
-        len([k for k in reg._jit_cache if k[0] == "fit_fused"]) == n_keys
-    )
+    assert set(_SHARED_JIT_CACHE) == shared_keys
     # Oracle: the reused program matches a fresh exact-shape fit on the
     # SECOND dataset (inits are data-independent, so fresh == restored).
     with _no_buckets():
@@ -358,3 +363,52 @@ def test_bucketed_missingness_change_reuses_program():
         rtol=1e-6,
         atol=1e-8,
     )
+
+
+def test_bucketed_programs_shared_across_instances():
+    # The r4 stress bench's second-dataset probe: a NEW estimator instance
+    # on a new dataset (production serving pattern) must reuse the first
+    # instance's compiled bucketed programs — fit_predict, fit, and the
+    # posterior-factor program all key on the plan's structural
+    # fingerprint, not the instance (PERF.md finding 22).
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
+    x1, y1 = _data(n=40, seed=1)
+    x2, y2 = _data(n=50, seed=2)
+    xt = np.linspace(0, 6, 20)
+    assert bucket_rows(40) == bucket_rows(50)
+    kw = dict(noise=0.1, replace=True, normalise_y=True)
+
+    r1 = GPARRegressor(**kw)
+    m1 = r1.fit_predict(x1, y1, xt, iters=2, num_samples=5,
+                        key=jax.random.PRNGKey(0))
+    shared = set(_SHARED_JIT_CACHE)
+    r2 = GPARRegressor(**kw)
+    m2 = r2.fit_predict(x2, y2, xt, iters=2, num_samples=5,
+                        key=jax.random.PRNGKey(1))
+    assert set(_SHARED_JIT_CACHE) == shared  # no new program for r2
+    assert np.isfinite(m1).all() and np.isfinite(m2).all()
+    # Oracle: the shared executable computes the SECOND instance's fit
+    # exactly (nothing of instance 1 leaked through the closure).
+    with _no_buckets():
+        ref = GPARRegressor(**kw)
+        m2_ref = ref.fit_predict(x2, y2, xt, iters=2, num_samples=5,
+                                 key=jax.random.PRNGKey(1))
+    approx(m2, m2_ref, rtol=1e-6, atol=1e-8)
+
+    # Structural differences must NOT share: a different compat flag or
+    # transform forks the key (a shared program would bake the wrong
+    # serving semantics).
+    r3 = GPARRegressor(**kw, compat=False)
+    r3.fit(x1, y1, iters=2, key=jax.random.PRNGKey(0))
+    assert set(_SHARED_JIT_CACHE) != shared
+
+    from gpar_tpu import log_transform
+
+    before = set(_SHARED_JIT_CACHE)
+    r4 = GPARRegressor(noise=0.1, replace=True, normalise_y=True,
+                       transform_y=log_transform)
+    y_pos = np.abs(y1) + 0.5
+    r4.fit_predict(x1, y_pos, xt, iters=2, num_samples=5,
+                   key=jax.random.PRNGKey(0))
+    assert set(_SHARED_JIT_CACHE) != before
