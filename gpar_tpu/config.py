@@ -152,12 +152,13 @@ class _Config:
         #: 0/1 row masks the mesh paths use — so ONE compiled executable
         #: serves a whole size range and a new dataset (same model, any
         #: row count inside the bucket) reuses it instead of paying the
-        #: per-shape cold XLA compile.  Applies to the single-device
-        #: scan-fused paths (mesh programs pad to the device geometry and
-        #: commit their data at build time; unrolled fallbacks bake the
-        #: data's NaN plan) and to the batched greedy scorer's row axis
-        #: (single-device and mesh).  False: compile exactly at the data
-        #: shape.
+        #: per-shape cold XLA compile.  Applies to every scan-fused path —
+        #: single-device AND under an active mesh (the mesh programs take
+        #: the bucketed row arrays as traced arguments and pad from the
+        #: bucket to the device geometry inside the trace) — and to the
+        #: batched greedy scorer's row axis.  Only the unrolled/batched
+        #: fallbacks bake the data's NaN plan and stay exact-shape.
+        #: False: compile exactly at the data shape.
         self.shape_buckets = True
         #: Geometric ratio between consecutive row buckets: padding wastes
         #: at most ~(ratio - 1) of the rows and the number of distinct

@@ -698,6 +698,17 @@ def _shard_plan_xs(xs_np, mesh, shard_axis, n_pad):
     return xs_dev
 
 
+def _bucketed_plan_xs(xs_np, xs_dev):
+    """Model-structure scan inputs for a shape-bucketed (rows-traced)
+    program: the committed replicated device arrays when a mesh is active
+    (the constant-folding hazard, see :func:`_committed_plan_xs`), plain
+    constants otherwise.  The per-row arrays ride in as traced arguments
+    either way (the caller merges ``xs_rows`` on top)."""
+    if xs_dev is not None:
+        return {k: xs_dev[k] for k in xs_np if k not in _ROW_KEYS}
+    return _static_plan_xs(xs_np)
+
+
 def _pop_x_ind(xs_rows):
     """Split the traced inducing inputs out of a bucketed row-args dict
     (``GPARRegressor._bucket_fit_inputs`` adds them for sparse models so
@@ -823,9 +834,13 @@ def make_scan_fit_body(
             n, mesh.devices.size, _cfg.dense_shard_block
         )
 
-    def _scan_chain(z_all, x_local, xs, n_rows, zi_t=None):
+    def _scan_chain(z_all, x_local, xs, n_rows, zi_t=None, block=None):
         """The shared scan over layers; ``x_local``/(p, n_rows) scan inputs
-        may be the full data (single-device) or one shard (mesh mode)."""
+        may be the full data (single-device) or one shard (mesh mode).
+        ``block`` overrides the build-time dense panel width (the bucketed
+        mesh program derives its geometry from the bucket, not the
+        dataset's row count)."""
+        blk = dense_block if block is None else block
         dtype = x_local.dtype
         eps = resolve_epsilon(dtype)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
@@ -846,7 +861,7 @@ def make_scan_fit_body(
                 return _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps)
             return _mesh_layer_nll_factors(
                 plan, lin, z_full, x_aug, zi_aug, eps, shard_axis,
-                dense_block, mesh.devices.size,
+                blk, mesh.devices.size,
             )
 
         def step(carry, lin):
@@ -913,6 +928,77 @@ def make_scan_fit_body(
     from jax.sharding import PartitionSpec as PSpec
 
     n_dev = mesh.devices.size
+    if rows_traced:
+        # Shape-bucketed mesh form: the caller passes the per-row plan
+        # arrays padded to the bucket as TRACED arguments (pad_plan_rows),
+        # so one compiled mesh program serves every dataset in the size
+        # range — the same cross-dataset/cross-instance reuse as the
+        # single-device bucketed path, composed with the shard_map row
+        # sharding.  Model-structure scan inputs stay committed replicated
+        # device arrays (the shard_map constant-folding hazard, PERF.md
+        # finding 18); geometry padding from the bucket to whole
+        # per-device rows happens inside the trace (static: a function of
+        # the bucket size only).
+        xs_static_dev = _shard_plan_xs(
+            {k: v for k, v in xs_np.items() if k not in _ROW_KEYS},
+            mesh, shard_axis, 0,
+        )
+
+        def _geometry(n_rows):
+            """(pad, dense panel width) from the bucket size — static at
+            trace time (``n_rows`` is the traced x's static shape)."""
+            if sparse:
+                return (-n_rows) % n_dev, None
+            from ..config import config as _cfg
+            from ..parallel.dense import _pad_geometry
+
+            nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
+            return n_dev * nloc_b - n_rows, blk
+
+        def program(z_all, x, layer_keys, xs_rows):
+            xs_rows, zi_t = _pop_x_ind(xs_rows)
+            n_pad_b, blk = _geometry(x.shape[0])
+            x_p = jnp.pad(x, ((0, n_pad_b), (0, 0))) if n_pad_b else x
+            xs = dict(xs_static_dev)
+            for k, v in xs_rows.items():
+                if n_pad_b:
+                    cval = 1.0 if k == "w_col" else 0.0
+                    v = jnp.pad(
+                        v, ((0, 0), (0, n_pad_b)), constant_values=cval
+                    )
+                xs[k] = v
+            xs["key"] = layer_keys
+            xs_specs = {
+                k: PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec()
+                for k in xs
+            }
+
+            def local(z_all, x_loc, xs_loc, zi_t=None):
+                return _scan_chain(
+                    z_all, x_loc, xs_loc, x_loc.shape[0], zi_t, block=blk
+                )
+
+            if zi_t is not None:
+                fn = jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(
+                        PSpec(), PSpec(shard_axis), xs_specs, PSpec(),
+                    ),
+                    out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
+                )
+                return fn(z_all, x_p, xs, zi_t)
+
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(PSpec(), PSpec(shard_axis), xs_specs),
+                out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
+            )
+            return fn(z_all, x_p, xs)
+
+        return program
+
     if sparse:
         n_pad = (-n) % n_dev
     else:
@@ -1081,10 +1167,11 @@ def make_scan_free_fit_body(
     :func:`_mesh_layer_nll_factors` — cold compile O(1) in p AND
     per-device work O(1/P) in n on the fix=False path too (the O(p²/2)
     unrolled mesh fallback survives only as the ``fused="unroll"``
-    oracle).  ``rows_traced`` (shape bucketing) remains single-device.
+    oracle).  With ``rows_traced`` too (shape bucketing under a mesh),
+    the per-row plan arrays ride in as traced arguments and geometry
+    padding happens inside the trace — one compiled mesh program per
+    bucket, shared across datasets and instances.
     """
-    if mesh is not None and rows_traced:
-        raise ValueError("shape-bucketed free fits are single-device")
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
@@ -1109,9 +1196,14 @@ def make_scan_free_fit_body(
         idx = np.concatenate([row[row != dummy] for row in lg[: pi + 1]])
         prefix_gather[pi, : len(idx)] = idx
 
-    def _free_chain(z_all, x_local, xs, layer_keys, pg_all, gates, zi_t=None):
+    def _free_chain(
+        z_all, x_local, xs, layer_keys, pg_all, gates, zi_t=None, block=None
+    ):
         """The shared two-level scan; ``x_local``/per-row ``xs`` entries
-        may be the full data (single-device) or one shard (mesh mode)."""
+        may be the full data (single-device) or one shard (mesh mode).
+        ``block`` overrides the build-time dense panel width (the bucketed
+        mesh program derives its geometry from the bucket)."""
+        blk = dense_block if block is None else block
         dtype = x_local.dtype
         eps = resolve_epsilon(dtype)
         x_aug0 = jnp.concatenate(
@@ -1130,7 +1222,7 @@ def make_scan_free_fit_body(
                 return _layer_nll_factors(plan, lin, z_full, x_aug, zi_aug, eps)
             return _mesh_layer_nll_factors(
                 plan, lin, z_full, x_aug, zi_aug, eps, shard_axis,
-                dense_block, mesh.devices.size,
+                blk, mesh.devices.size,
             )
 
         def chain_nll(z_ext, gate):
@@ -1208,24 +1300,38 @@ def make_scan_free_fit_body(
     else:
         # The distributed Cholesky needs per-device rows in whole panels.
         n_pad = n_dev * _nloc - n
-    xs_dev = _shard_plan_xs(xs_np, mesh, shard_axis, n_pad)
+    xs_dev = _shard_plan_xs(
+        {k: v for k, v in xs_np.items() if not (rows_traced and k in _ROW_KEYS)},
+        mesh, shard_axis, n_pad,
+    )
     # The position-scan constants enter as committed replicated parameters
     # too (the shard_map constant-folding hazard, PERF.md finding 18).
     rep = NamedSharding(mesh, PSpec())
     pg_dev = jax.device_put(prefix_gather, rep)
     gates_dev = jax.device_put(gates_np, rep)
 
-    def program(z_all, x, layer_keys):
-        x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
-        xs = dict(xs_dev)
+    def _run(z_all, x_p, xs, layer_keys, zi_t=None, block=None):
         xs_specs = {
             k: PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec()
             for k in xs
         }
 
-        def local(z_all, x_loc, xs_loc, keys, pg, gates):
-            return _free_chain(z_all, x_loc, xs_loc, keys, pg, gates)
+        def local(z_all, x_loc, xs_loc, keys, pg, gates, zi_t=None):
+            return _free_chain(
+                z_all, x_loc, xs_loc, keys, pg, gates, zi_t, block=block
+            )
 
+        if zi_t is not None:
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    PSpec(), PSpec(shard_axis), xs_specs, PSpec(), PSpec(),
+                    PSpec(), PSpec(),
+                ),
+                out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
+            )
+            return fn(z_all, x_p, xs, layer_keys, pg_dev, gates_dev, zi_t)
         fn = jax.shard_map(
             local,
             mesh=mesh,
@@ -1236,6 +1342,39 @@ def make_scan_free_fit_body(
             out_specs=(PSpec(), PSpec(), PSpec(), PSpec()),
         )
         return fn(z_all, x_p, xs, layer_keys, pg_dev, gates_dev)
+
+    if rows_traced:
+        # Shape-bucketed mesh form (see make_scan_fit_body): per-row plan
+        # arrays ride as traced arguments, geometry padding is a static
+        # function of the bucket size.
+        def _geometry(n_rows):
+            if sparse:
+                return (-n_rows) % n_dev, None
+            from ..config import config as _cfg
+            from ..parallel.dense import _pad_geometry
+
+            nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
+            return n_dev * nloc_b - n_rows, blk
+
+        def program(z_all, x, layer_keys, xs_rows):
+            xs_rows, zi_t = _pop_x_ind(xs_rows)
+            n_pad_b, blk = _geometry(x.shape[0])
+            x_p = jnp.pad(x, ((0, n_pad_b), (0, 0))) if n_pad_b else x
+            xs = dict(xs_dev)
+            for k, v in xs_rows.items():
+                if n_pad_b:
+                    cval = 1.0 if k == "w_col" else 0.0
+                    v = jnp.pad(
+                        v, ((0, 0), (0, n_pad_b)), constant_values=cval
+                    )
+                xs[k] = v
+            return _run(z_all, x_p, xs, layer_keys, zi_t, block=blk)
+
+        return program
+
+    def program(z_all, x, layer_keys):
+        x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
+        return _run(z_all, x_p, dict(xs_dev), layer_keys)
 
     return program
 
@@ -1272,7 +1411,11 @@ def make_scan_posterior_factors(plan, x_ind, mesh=None, rows_traced=False):
     m, W, n = plan.m, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
-    xs_dev = _committed_plan_xs(xs_np, mesh)
+    xs_dev = _committed_plan_xs(
+        {k: v for k, v in xs_np.items()
+         if not (rows_traced and k in _ROW_KEYS)},
+        mesh,
+    )
 
     def factors(z_all, x, xs_rows=None):
         dtype = x.dtype
@@ -1293,7 +1436,7 @@ def make_scan_posterior_factors(plan, x_ind, mesh=None, rows_traced=False):
             # Shape-bucketed form: padded per-row arrays ride in as
             # traced arguments (see pad_plan_rows) — the program is
             # data-independent and keyed on the bucket only.
-            xs = _static_plan_xs(xs_np)
+            xs = _bucketed_plan_xs(xs_np, xs_dev)
             xs.update(xs_rows)
         else:
             xs = _plan_xs(xs_np, xs_dev)
@@ -1352,7 +1495,11 @@ def make_scan_cached_tail(plan, latent, mesh=None, rows_traced=False):
     m, W = plan.m, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
-    xs_dev = _committed_plan_xs(xs_np, mesh)
+    xs_dev = _committed_plan_xs(
+        {k: v for k, v in xs_np.items()
+         if not (rows_traced and k in _ROW_KEYS)},
+        mesh,
+    )
 
     def tail(z_all, factors, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x_test.dtype
@@ -1365,7 +1512,7 @@ def make_scan_cached_tail(plan, latent, mesh=None, rows_traced=False):
             [x_test, jnp.zeros((n_test, W - m), dtype)], axis=1
         )
         if rows_traced:
-            xs = _static_plan_xs(xs_np)
+            xs = _bucketed_plan_xs(xs_np, xs_dev)
             xs.update(xs_rows)
         else:
             xs = _plan_xs(xs_np, xs_dev)
@@ -1457,7 +1604,11 @@ def make_scan_ancestral_tail(
     m, W = plan.m, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
-    xs_dev = _committed_plan_xs(xs_np, mesh)
+    xs_dev = _committed_plan_xs(
+        {k: v for k, v in xs_np.items()
+         if not (rows_traced and k in _ROW_KEYS)},
+        mesh,
+    )
 
     def tail(z_all, factors, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x_test.dtype
@@ -1472,7 +1623,7 @@ def make_scan_ancestral_tail(
         )
         xt_b = jnp.broadcast_to(xt0, (S, n_test, W))
         if rows_traced:
-            xs = _static_plan_xs(xs_np)
+            xs = _bucketed_plan_xs(xs_np, xs_dev)
             xs.update(xs_rows)
         else:
             xs = _plan_xs(xs_np, xs_dev)
@@ -1689,7 +1840,11 @@ def make_scan_predict_tail(plan, x_ind, latent, mesh=None, rows_traced=False):
     m, p, W, n = plan.m, plan.p, plan.W, plan.n
     sparse = plan.sparse
     xs_np = plan.xs
-    xs_dev = _committed_plan_xs(xs_np, mesh)
+    xs_dev = _committed_plan_xs(
+        {k: v for k, v in xs_np.items()
+         if not (rows_traced and k in _ROW_KEYS)},
+        mesh,
+    )
 
     def tail(z_all, x, x_test, w_test_T, keys, xs_rows=None, mt=None):
         dtype = x.dtype
@@ -1712,7 +1867,7 @@ def make_scan_predict_tail(plan, x_ind, latent, mesh=None, rows_traced=False):
             zi_aug = jnp.zeros((0, W), dtype)
 
         if rows_traced:
-            xs = _static_plan_xs(xs_np)
+            xs = _bucketed_plan_xs(xs_np, xs_dev)
             xs.update(xs_rows)
         else:
             xs = _plan_xs(xs_np, xs_dev)

@@ -252,6 +252,22 @@ def _fingerprint(*arrays):
     return h.hexdigest()
 
 
+def _model_config_key(model_config):
+    """Hashable canonical form of the kernel-builder config — the part of
+    a greedy-scorer program's structure that is not in its shape key.  Two
+    instances with equal keys trace byte-identical scorer programs
+    (``_model_generator`` reads only these switches, ``m``, and the
+    position)."""
+
+    def _scalar(v):
+        if isinstance(v, (np.ndarray, list, tuple)):
+            a = np.asarray(v)
+            return (str(a.dtype), a.shape, a.tobytes())
+        return repr(v)
+
+    return tuple(sorted((k, _scalar(v)) for k, v in model_config.items()))
+
+
 #: Cross-instance cache of jitted SHAPE-BUCKETED programs.  Bucketed
 #: programs are dataset-independent by construction (every data-derived
 #: value rides in as a traced argument), so two ``GPARRegressor``
@@ -651,6 +667,13 @@ class GPARRegressor:
         honoured.  Requires :meth:`condition` to have run with identity
         ordering.
 
+        Numerical caveat: the batched scorer factorises masked full-size
+        matrices while the per-candidate oracle (``_greedy_layer_nll``)
+        factorises the observed-row subset; the float-level differences
+        can pick a different permutation only when candidate scores are
+        near-tied — i.e. when the data itself does not distinguish the
+        orderings (ADVICE r3).
+
         Returns:
             np.ndarray: permutation; layer ``pi`` models output ``ret[pi]``.
         """
@@ -776,9 +799,11 @@ class GPARRegressor:
             memory_size,
             mesh_descriptor(),
         )
-        fn = self._jit_cache.get(cache_key)
-        if fn is None:
-            sparse, x_ind = self.sparse, self.x_ind
+
+        sparse = self.sparse
+        n_ind = int(np.asarray(self.x_ind).shape[0]) if sparse else 0
+
+        def _build():
             from ..ops.kernels import gram, kdiag
             from ..ops.linalg import (
                 floor_noise,
@@ -787,17 +812,21 @@ class GPARRegressor:
             )
             from .fused import _masked_dense_factors
 
-            def program(z0, x_aug, ys, ws, masks):
+            def program(z0, x_ind_t, x_aug, ys, ws, masks):
                 eps = resolve_epsilon(x_aug.dtype)
                 if sparse:
-                    # Inducing inputs augmented with the prior-mean (zero)
-                    # estimate of the selected outputs, as in the
-                    # per-candidate scorer (``gpar/model.py:291-305``).
+                    # Inducing inputs (a TRACED argument — data-derived in
+                    # every reference workload, so baking them would defeat
+                    # cross-instance program sharing) augmented with the
+                    # prior-mean (zero) estimate of the selected outputs,
+                    # as in the per-candidate scorer
+                    # (``gpar/model.py:291-305``).
                     z_aug = jnp.concatenate(
                         [
-                            x_ind,
+                            x_ind_t,
                             jnp.zeros(
-                                (x_ind.shape[0], position), dtype=x_ind.dtype
+                                (x_ind_t.shape[0], position),
+                                dtype=x_ind_t.dtype,
                             ),
                         ],
                         axis=1,
@@ -838,8 +867,37 @@ class GPARRegressor:
 
                 return jax.vmap(one)(ys, ws, masks)
 
-            fn = jax.jit(program)
-            self._jit_cache[cache_key] = fn
+            return jax.jit(program)
+
+        if _cfg.shape_buckets:
+            # The scorer's trace is dataset-independent (data, masks, AND
+            # inducing inputs all ride as traced arguments), so share the
+            # compiled program across estimator instances — keyed on the
+            # model structure (the kernel builder's config + m + sparse
+            # geometry), the same regime as the fit/serve programs
+            # (PERF.md finding 22).
+            fn = _shared_jit(
+                cache_key
+                + (
+                    _model_config_key(self.model_config),
+                    self.m,
+                    sparse,
+                    n_ind,
+                    str(np.dtype(dtype)),
+                ),
+                (),
+                _build,
+            )
+        else:
+            fn = self._jit_cache.get(cache_key)
+            if fn is None:
+                fn = _build()
+                self._jit_cache[cache_key] = fn
+        x_ind_t = (
+            jnp.asarray(self.x_ind, dtype=dtype)
+            if sparse
+            else jnp.zeros((0, self.m), dtype=dtype)
+        )
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -847,6 +905,7 @@ class GPARRegressor:
             rep = NamedSharding(mesh, PartitionSpec())
             args = (
                 jax.device_put(z0, rep),
+                jax.device_put(x_ind_t, rep),
                 jax.device_put(jnp.asarray(x_aug, dtype=dtype), rep),
                 jax.device_put(jnp.asarray(ys, dtype=dtype), cand),
                 jax.device_put(jnp.asarray(ws, dtype=dtype), cand),
@@ -855,6 +914,7 @@ class GPARRegressor:
         else:
             args = (
                 z0,
+                x_ind_t,
                 jnp.asarray(x_aug, dtype=dtype),
                 jnp.asarray(ys, dtype=dtype),
                 jnp.asarray(ws, dtype=dtype),
@@ -1533,17 +1593,18 @@ class GPARRegressor:
         fit_key, sample_key = jax.random.split(key)
         layer_keys = self._fit_layer_keys(fit_key, restarts)
         n_keys = num_samples
-        if _cfg.mesh is not None:
-            # Pad the key batch to a mesh multiple and shard it: each chip
-            # draws its share of the Monte-Carlo samples; the surplus is
-            # sliced off before the on-device reduction.
-            size = _cfg.mesh.devices.size
-            n_keys = num_samples + (-num_samples) % size
-        elif bucketed:
+        if bucketed:
             # Pad the key batch to the sample bucket; surplus draws are
             # invalidated before the on-device reduction (prefix-stable
             # key splitting keeps the real draws identical).
             n_keys = bucket_samples(num_samples)
+        if _cfg.mesh is not None:
+            # Pad the key batch (after any sample bucketing) to a mesh
+            # multiple and shard it: each chip draws its share of the
+            # Monte-Carlo samples; the surplus is sliced off (masked in
+            # bucketed mode) before the on-device reduction.
+            size = _cfg.mesh.devices.size
+            n_keys = n_keys + (-n_keys) % size
         keys = jax.random.split(sample_key, n_keys)
         if _cfg.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -2013,19 +2074,18 @@ class GPARRegressor:
         # leave the program; prefix-stable key splitting keeps the real
         # draws identical) — and the test rows pad once the serving path
         # is known below.
-        bucket_candidate = bool(
-            _cfg.shape_buckets and active_mesh is None and _cfg.scan_predict
-        )
+        bucket_candidate = bool(_cfg.shape_buckets and _cfg.scan_predict)
         if key is None:
             key = next_key()
         n_keys = num_samples
-        if active_mesh is not None:
-            # Pad the key batch to a mesh multiple so each device draws an
-            # equal share; surplus samples are dropped after the fact.
-            size = active_mesh.devices.size
-            n_keys = num_samples + (-num_samples) % size
-        elif bucket_candidate:
+        if bucket_candidate:
             n_keys = bucket_samples(num_samples)
+        if active_mesh is not None:
+            # Pad the key batch (after any sample bucketing) to a mesh
+            # multiple so each device draws an equal share; surplus samples
+            # are dropped (masked in bucketed mode) after the fact.
+            size = active_mesh.devices.size
+            n_keys = n_keys + (-n_keys) % size
         keys = jax.random.split(key, n_keys)
         if active_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -2383,14 +2443,13 @@ class GPARRegressor:
 
     def _fit_bucketed(self, scan):
         """Whether the shape-bucketed (rows-traced) form of the scan fit
-        body applies: single-device scan bodies only — mesh programs pad
-        to the device geometry and commit their data at build time, the
-        unrolled/batched fallbacks bake the data's NaN plan."""
+        body applies: scan bodies only (single-device or mesh — the mesh
+        programs pad from the bucket to the device geometry inside the
+        trace); the unrolled/batched fallbacks bake the data's NaN plan
+        and stay exact-shape."""
         from ..config import config as _cfg
 
-        return bool(
-            scan == "scan" and _cfg.mesh is None and _cfg.shape_buckets
-        )
+        return bool(scan == "scan" and _cfg.shape_buckets)
 
     def _bucket_share_key(self, plan):
         """Cross-instance cache-key suffix for a shape-bucketed program:
