@@ -70,6 +70,16 @@ def make_mesh(n_devices=None, axis="dp", devices=None):
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            # Silently truncating would hand back a SMALLER mesh than
+            # asked for (observed footgun: tests requesting an 8-device
+            # CPU mesh got a 1-device TPU mesh because the TPU plugin
+            # outranks the CPU backend in jax.devices()).
+            raise ValueError(
+                f"make_mesh({n_devices}) with only {len(devices)} "
+                f"device(s) available ({devices[0].platform}); pass "
+                f"devices= explicitly (e.g. jax.devices('cpu'))."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 

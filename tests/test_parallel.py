@@ -210,7 +210,7 @@ def test_mesh_fit_with_restarts():
     reg = GPARRegressor(
         noise=0.1, x_ind=np.linspace(0, 10, 8), normalise_y=False
     )
-    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+    with gpar_tpu.use_mesh(make_mesh(8, devices=jax.devices("cpu")), min_rows=8):
         reg.fit(x, y, iters=10, restarts=4, key=jax.random.PRNGKey(0))
         mean = reg.predict(x, num_samples=8, key=jax.random.PRNGKey(1))
     assert reg.last_fit_report["restarts"] == 4
@@ -237,7 +237,7 @@ def test_mesh_fit_predict_single_program():
     m1, lo1, up1 = r1.fit_predict(x, y, key=K, **kw)
 
     r2 = GPARRegressor(noise=0.1, x_ind=np.linspace(0, 10, 8), normalise_y=False)
-    with gpar_tpu.use_mesh(make_mesh(8), min_rows=8):
+    with gpar_tpu.use_mesh(make_mesh(8, devices=jax.devices("cpu")), min_rows=8):
         m2, lo2, up2 = r2.fit_predict(x, y, key=K, **kw)
     # Same keys, same data; only the summation order differs through the
     # sharded moment reduction inside L-BFGS -> small drift.
