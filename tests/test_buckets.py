@@ -464,6 +464,43 @@ def test_bucketed_fit_under_mesh_reuses_and_matches():
         approx(r2.vs[name], r_ref.vs[name], rtol=1e-3, atol=1e-3)
 
 
+def test_bucketed_free_fit_under_mesh_reuses_and_matches():
+    # fit(fix=False) under a mesh dispatches through the bucketed mesh
+    # free body (make_scan_free_fit_body mesh+rows_traced branch): the
+    # padded rows are neutral inside every prefix-chain objective, the
+    # program is shared across datasets in the bucket, and the jointly
+    # optimised latents match the single-device bucketed program (same
+    # math; reduction order only).
+    import gpar_tpu
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+    from gpar_tpu.parallel import make_mesh
+
+    x1, y1 = _data(n=40, seed=5)
+    x2, y2 = _data(n=50, seed=6)
+    assert bucket_rows(40) == bucket_rows(50)
+    kw = dict(noise=0.1, impute=True, normalise_y=True,
+              x_ind=np.linspace(0, 6, 9))
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(8, devices=jax.devices("cpu"))
+
+    with gpar_tpu.use_mesh(mesh, min_rows=8):
+        r1 = GPARRegressor(**kw)
+        r1.fit(x1, y1, fix=False, iters=4, key=key)
+        shared = set(_SHARED_JIT_CACHE)
+        r2 = GPARRegressor(**kw)
+        r2.fit(x2, y2, fix=False, iters=4, key=key)
+        assert set(_SHARED_JIT_CACHE) == shared  # mesh free program reused
+    r_ref = GPARRegressor(**kw)
+    r_ref.fit(x2, y2, fix=False, iters=4, key=key)
+    approx(
+        r2.last_fit_report["layer_nll"],
+        r_ref.last_fit_report["layer_nll"],
+        rtol=1e-6, atol=1e-6,
+    )
+    for name in r_ref.vs.names:
+        approx(r2.vs[name], r_ref.vs[name], rtol=1e-3, atol=1e-3)
+
+
 def test_bucketed_fit_predict_under_mesh_matches_exact():
     # End-to-end serving under mesh + bucketing: fit_predict pads rows,
     # test rows, AND the key batch (sample bucket, then mesh multiple) —
