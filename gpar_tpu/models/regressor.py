@@ -2711,3 +2711,166 @@ class GPARRegressor:
                 _cfg.mesh,
                 reduce="bounds" if credible_bounds else "mean",
             )
+
+    def warmup(
+        self,
+        n,
+        p,
+        m=1,
+        n_test=None,
+        num_samples=100,
+        latent=False,
+        credible_bounds=False,
+        paths=None,
+        **fit_kwargs,
+    ):
+        """Pre-compile the shape-bucketed programs for this estimator's
+        model structure before any real data arrives.
+
+        TPU-native serving extension with no reference counterpart (the
+        reference, ``gpar/regression.py:391-459``, compiles nothing and
+        pays its per-call cost every call).  Drives the REAL ``fit`` /
+        ``fit_predict`` / ``predict`` machinery on a synthetic
+        fully-observed dataset of the given shape, on a scratch estimator
+        constructed with this instance's configuration, so the
+        cross-instance bucketed-program cache (:func:`_shared_jit`) and
+        the persistent XLA compile cache are populated for the containing
+        buckets.  A later call on REAL data whose row / test-row / sample
+        counts land in the same buckets then reuses the compiled
+        executables — zero cold compile at request time.
+
+        The hit does not depend on the real data's values or missingness
+        pattern: a bucketed program's data, NaN plan, inducing inputs and
+        normalisation statistics all ride in as traced arguments
+        (``fused._ROW_KEYS`` / ``fused.plan_static_fingerprint``), so the
+        fully-observed synthetic fit traces a byte-identical program.
+
+        Args:
+            n (int): Training-row count to warm for (the program covers
+                every dataset with ``config.bucket_rows(rows) ==
+                config.bucket_rows(n)``).
+            p (int): Number of outputs (exact — part of the model
+                structure).
+            m (int): Number of input features (exact).  Defaults to `1`.
+            n_test (int, optional): Test-row count; when given, the
+                serving programs (``predict`` tail and fused
+                ``fit_predict``) are warmed too.
+            num_samples (int): Monte-Carlo sample count for the serving
+                programs (bucketed via ``config.bucket_samples``).
+            latent (bool): Warm the serving programs in latent mode.
+            credible_bounds (bool): Warm the bounds-reducing serving
+                programs.
+            paths (tuple, optional): Which programs to warm, a subset of
+                ``("fit", "predict", "fit_predict")``.  Defaults to
+                ``("fit",)`` without ``n_test`` and all three with it.
+            **fit_kwargs: Optimiser options of the production ``fit`` /
+                ``fit_predict`` calls (``iters=``, ``gtol=``,
+                ``memory_size=``, ``restarts=``, ``restart_scale=``,
+                ``fused=``, ``fix=``) — they are part of the program cache
+                key, so they must match the production calls to hit.
+
+        Caveats: greedy ordering cannot be pre-compiled (the permutation
+        is data-dependent and changes the programs' gather maps), and a
+        custom ``transform_y`` whose inverse maps a standard normal to
+        non-finite values needs a user-driven dummy fit instead.
+
+        Returns:
+            dict: ``{"buckets": {...}, "seconds": {path: wall_s}}``.
+        """
+        import time as _time
+
+        from ..config import bucket_rows, bucket_samples
+        from ..config import config as _cfg
+
+        if not _cfg.shape_buckets:
+            raise RuntimeError(
+                "warmup() pre-compiles the shape-bucketed programs; "
+                "config.shape_buckets is off, so every dataset compiles "
+                "its own exact-shape program and there is nothing to warm."
+            )
+        if fit_kwargs.pop("greedy", False):
+            raise ValueError(
+                "warmup() cannot pre-compile a greedy fit: the output "
+                "ordering is data-dependent and is baked into the "
+                "programs' gather maps."
+            )
+        fix = fit_kwargs.pop("fix", True)
+        if paths is None:
+            paths = ("fit",) if n_test is None else (
+                "fit", "predict", "fit_predict")
+        unknown = set(paths) - {"fit", "predict", "fit_predict"}
+        if unknown:
+            raise ValueError(f"Unknown warmup() paths: {sorted(unknown)}")
+        if ("predict" in paths or "fit_predict" in paths) and n_test is None:
+            raise ValueError(
+                "Warming the serving programs needs n_test=."
+            )
+
+        # A scratch estimator with this instance's exact configuration:
+        # the shared-cache key includes the transform functions BY
+        # IDENTITY, so the scratch must carry the same objects.
+        scratch = GPARRegressor(
+            replace=self.replace,
+            impute=self.impute,
+            x_ind=self.x_ind,
+            normalise_y=self.normalise_y,
+            transform_y=(self._transform_y, self._untransform_y),
+            compat=self.compat,
+            **self.model_config,
+        )
+
+        # Synthetic fully-observed data, mapped through the inverse
+        # transform so condition()'s forward transform recovers a
+        # well-conditioned standard-normal model-space dataset whatever
+        # the user's transform_y is.
+        rng = np.random.default_rng(20)
+        x_d = rng.uniform(size=(n, m))
+        z = 0.5 * rng.standard_normal((n, p))
+        y_d = np.asarray(self._untransform_y(jnp.asarray(z)), dtype=float)
+        if not np.isfinite(y_d).all():
+            raise ValueError(
+                "warmup()'s synthetic data is non-finite through this "
+                "estimator's inverse transform_y; run a dummy fit with "
+                "representative data instead."
+            )
+        x_t = rng.uniform(size=(n_test, m)) if n_test is not None else None
+
+        fp_keys = (
+            "iters", "gtol", "memory_size", "restarts", "restart_scale",
+            "fused", "key",
+        )
+        fp_kwargs = {k: v for k, v in fit_kwargs.items() if k in fp_keys}
+        seconds = {}
+        if "fit" in paths or "predict" in paths:
+            # predict needs fitted state; its warm-fit doubles as the fit
+            # program warm.
+            t0 = _time.perf_counter()
+            scratch.fit(x_d, y_d, fix=fix, **fit_kwargs)
+            seconds["fit"] = _time.perf_counter() - t0
+        if "predict" in paths:
+            t0 = _time.perf_counter()
+            scratch.predict(
+                x_t,
+                num_samples=num_samples,
+                latent=latent,
+                credible_bounds=credible_bounds,
+            )
+            seconds["predict"] = _time.perf_counter() - t0
+        if "fit_predict" in paths:
+            t0 = _time.perf_counter()
+            scratch.fit_predict(
+                x_d,
+                y_d,
+                x_test=x_t,
+                num_samples=num_samples,
+                latent=latent,
+                credible_bounds=credible_bounds,
+                **fp_kwargs,
+            )
+            seconds["fit_predict"] = _time.perf_counter() - t0
+
+        buckets = {"rows": bucket_rows(n)}
+        if n_test is not None:
+            buckets["test_rows"] = bucket_rows(n_test)
+            buckets["samples"] = bucket_samples(num_samples)
+        return {"buckets": buckets, "seconds": seconds}

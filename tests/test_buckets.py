@@ -576,3 +576,61 @@ def test_greedy_scorer_shared_across_instances():
     )
     r3.fit(x1, y1, greedy=True, iters=8)
     assert set(_SHARED_JIT_CACHE) != before
+
+
+def test_warmup_precompiles_for_unseen_data():
+    # warmup() pre-populates the shared program cache from a SYNTHETIC
+    # fully-observed dataset; real data arriving later — different n,
+    # n_test, num_samples inside the same buckets, WITH missing values —
+    # must add no new entries (the NaN plan and data ride as traced
+    # arguments, so the warmed programs serve it directly).
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
+    reg = GPARRegressor(noise=0.1, normalise_y=True)
+    rep = reg.warmup(40, 3, m=1, n_test=20, num_samples=5, iters=2)
+    assert set(rep["seconds"]) == {"fit", "predict", "fit_predict"}
+    assert rep["buckets"]["rows"] == bucket_rows(40)
+    assert not reg.is_conditioned  # the instance itself is untouched
+    keys = set(_SHARED_JIT_CACHE)
+
+    x, y = _data(n=50, missing=True, seed=3)
+    xt = np.linspace(0, 6, 30)
+    assert bucket_rows(50) == bucket_rows(40)
+    assert bucket_rows(30) == bucket_rows(20)
+    assert bucket_samples(4) == bucket_samples(5)
+    reg.fit(x, y, iters=2, key=jax.random.PRNGKey(0))
+    m = reg.predict(xt, num_samples=4, key=jax.random.PRNGKey(1))
+    m2 = reg.fit_predict(
+        x, y, xt, iters=2, num_samples=4, key=jax.random.PRNGKey(2)
+    )
+    assert set(_SHARED_JIT_CACHE) == keys  # all three paths hit warm
+    assert np.isfinite(m).all() and np.isfinite(m2).all()
+
+
+def test_warmup_with_transform_hits():
+    # The shared-cache key holds the transform functions BY IDENTITY; the
+    # scratch estimator carries the same objects, and the synthetic data
+    # rides through the inverse transform, so a log-transformed model
+    # warms correctly and positive real data hits.
+    from gpar_tpu import log_transform
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
+    reg = GPARRegressor(noise=0.1, transform_y=log_transform)
+    reg.warmup(40, 2, iters=2)
+    keys = set(_SHARED_JIT_CACHE)
+    x, y = _data(n=50, p=2, seed=4)
+    reg.fit(x, np.exp(0.2 * y), iters=2, key=jax.random.PRNGKey(0))
+    assert set(_SHARED_JIT_CACHE) == keys
+
+
+def test_warmup_argument_errors():
+    reg = GPARRegressor(noise=0.1)
+    with _no_buckets():
+        with pytest.raises(RuntimeError, match="shape_buckets"):
+            reg.warmup(10, 2)
+    with pytest.raises(ValueError, match="greedy"):
+        reg.warmup(10, 2, greedy=True)
+    with pytest.raises(ValueError, match="n_test"):
+        reg.warmup(10, 2, paths=("predict",))
+    with pytest.raises(ValueError, match="paths"):
+        reg.warmup(10, 2, paths=("serve",))
