@@ -590,7 +590,16 @@ def titsias_factors(Kmm, Kmn, knn_diag, y, mean, noise_diag, epsilon=None, mask=
     Lm = safe_cholesky(Kmm, epsilon)
     A0 = solve_lower(Lm, Kmn)  # (m, n), O(1) entries
     qnn = jnp.sum(A0 * A0, axis=0)
-    trace_num = jnp.sum((knn_diag - qnn) * d_inv)
+    # The Nyström residual knn - qnn is >= 0 in exact arithmetic; clamp
+    # it there.  In float32 its operands scale with the kernel VARIANCE,
+    # so at extreme variances (~1e29, reachable mid-optimisation) the
+    # subtraction is pure cancellation noise of either sign — an
+    # unclamped negative "trace" of ~-1e25 flips the ELBO hugely
+    # positive, which L-BFGS then rides to a garbage optimum (observed on
+    # TPU f32, PERF.md finding 25).  The clamp restores the physical
+    # barrier (huge variance => huge nonnegative trace penalty) and is a
+    # rounding-level no-op in float64.
+    trace_num = jnp.sum(jnp.maximum(knn_diag - qnn, 0.0) * d_inv)
     G = (A0 * d_inv[None, :]) @ A0.T
     u = A0 @ (r * d_inv)
     LB, w, beta = titsias_solve(G, u, Lm)

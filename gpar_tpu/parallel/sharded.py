@@ -126,7 +126,13 @@ def titsias_psum_body(Lm, A0, knn_local, y, noise_diag, mask, axis):
     G = jax.lax.psum((A0 * d_inv[None, :]) @ A0.T, axis)
     u = jax.lax.psum(A0 @ (r * d_inv), axis)
     logdet_d = jax.lax.psum(jnp.sum(jnp.log(noise_diag) * mask), axis)
-    trace_num = jax.lax.psum(jnp.sum((knn_local - qnn) * d_inv), axis)
+    # Clamped like ops/linalg.titsias_factors: the Nyström residual is
+    # >= 0 exactly; in f32 at extreme variances the subtraction is
+    # cancellation noise and an unclamped negative trace flips the ELBO's
+    # sign into a garbage-optimum direction (PERF.md finding 25).
+    trace_num = jax.lax.psum(
+        jnp.sum(jnp.maximum(knn_local - qnn, 0.0) * d_inv), axis
+    )
     n_total = jax.lax.psum(jnp.sum(mask), axis)
 
     # Replicated O(m^3) core (single source: ops/linalg.titsias_solve —

@@ -532,3 +532,45 @@ def test_psd_sample_factor_batched_matches_vmap():
         jax.vmap(psd_sample_factor)(K_ok),
         atol=1e-12,
     )
+
+
+def test_titsias_trace_clamp_blocks_f32_variance_blowup():
+    # PERF.md finding 25: the Nystrom residual knn - qnn is >= 0 exactly,
+    # but its operands scale with the kernel VARIANCE — at ~1e20 the f32
+    # subtraction is pure cancellation noise of either sign, and an
+    # unclamped negative trace (~-1e13 * d_inv) flips the ELBO hugely
+    # POSITIVE, a degenerate direction L-BFGS rides to a garbage optimum
+    # (observed on-chip: a bucketed f32 fit returned layer NLL -4.6e28
+    # with input/var 4.4e29 while the exact-shape trajectory stayed
+    # healthy; both programs share the basin).  With the clamp the trace
+    # is nonnegative and the logdet barrier keeps the ELBO strongly
+    # negative at extreme variance.
+    from gpar_tpu.ops.kernels import EQ
+    from gpar_tpu.ops.linalg import titsias_factors
+
+    n, m = 256, 16
+    x = jnp.asarray(rng.uniform(0, 10, (n, 1)), jnp.float32)
+    z = jnp.asarray(np.linspace(0, 10, m)[:, None], jnp.float32)
+    y = jnp.asarray(np.sin(np.asarray(x[:, 0])), jnp.float32)
+    noise = jnp.full((n,), 2.5e-4, jnp.float32)
+
+    for v in [1e12, 1e20, 1e29]:
+        k = jnp.float32(v) * EQ().stretch(jnp.asarray([1.0], jnp.float32))
+        elbo, *_ = titsias_factors(
+            gram(k, z, z), gram(k, z, x), kdiag(k, x), y,
+            jnp.zeros_like(y), noise,
+        )
+        # The barrier: enormous prior variance must be enormously
+        # unlikely, never favourable.
+        assert float(elbo) < -1e4, (v, float(elbo))
+
+    # And the clamp is a rounding-level no-op at sane variances (f64).
+    x64 = jnp.asarray(rng.uniform(0, 10, (64, 1)))
+    z64 = jnp.asarray(np.linspace(0, 10, 8)[:, None])
+    y64 = jnp.sin(x64[:, 0])
+    k64 = 1.3 * EQ().stretch(jnp.asarray([0.9]))
+    e1, *_ = titsias_factors(
+        gram(k64, z64, z64), gram(k64, z64, x64), kdiag(k64, x64),
+        y64, jnp.zeros_like(y64), jnp.full((64,), 0.01),
+    )
+    assert np.isfinite(float(e1))
