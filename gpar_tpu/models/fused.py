@@ -57,6 +57,7 @@ the reference's default predictive configuration).
 """
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -82,8 +83,12 @@ from ..params.store import _Bounded, _Identity, _LowerBounded
 
 __all__ = [
     "ScanFitPlan",
+    "build_scan_data_plan",
     "build_scan_fit_plan",
     "build_scan_prior_plan",
+    "device_bucket_inputs",
+    "make_scan_logpdf_body",
+    "make_scan_posterior_logpdf_tail",
     "make_batched_fit_body",
     "make_scan_ancestral_tail",
     "make_scan_fit_body",
@@ -125,6 +130,55 @@ def pad_plan_rows(plan, n_rows):
             v = np.pad(v, ((0, 0), (0, pad)), constant_values=cval)
         out[k] = jnp.asarray(v)
     return out
+
+
+@partial(jax.jit, static_argnames=("n_b", "impute"))
+def device_bucket_inputs(x, y, w, *, n_b, impute):
+    """Bucketed fit inputs computed ON DEVICE from the already-resident
+    conditioned data — the serving-latency replacement for the host path
+    (``pad_plan_rows`` + five (p, n_b) host->device transfers through the
+    relay; PERF.md finding 27).
+
+    One dispatch: pads ``x``/``y``/``w`` to the row bucket (y with NaN, w
+    with 1 — so padded rows drop out of every mask) and derives the
+    per-layer row arrays (:data:`_ROW_KEYS`) — the closed-downwards
+    ``per_output`` routing of ``gpar/model.py:325-368`` as cumulative
+    mask algebra.  Values equal ``pad_plan_rows(build_scan_data_plan(
+    ...), n_b)`` exactly (oracle-pinned,
+    ``tests/test_buckets.py::test_device_bucket_inputs_match_host``).
+
+    Returns ``(x_pad, rows)`` with ``rows`` the traced-argument dict the
+    bucketed programs consume.
+    """
+    pad = n_b - y.shape[0]
+    dtype = x.dtype
+    x_pad = jnp.pad(x, ((0, pad), (0, 0)))
+    yT = jnp.pad(y, ((0, pad), (0, 0)), constant_values=jnp.nan).T
+    wT = jnp.pad(
+        w.astype(dtype), ((0, pad), (0, 0)), constant_values=1.0
+    ).T
+    avail_b = ~jnp.isnan(yT)  # (p, n_b)
+    avail = avail_b.astype(dtype)
+    if impute:
+        # keep[pi] = avail[pi] | any(avail[pi+1:]) for pi < p-1; the last
+        # layer keeps its own availability (per_output keep=True).
+        suffix = jnp.flip(
+            lax.cummax(jnp.flip(avail_b, 0).astype(jnp.int32), axis=0), 0
+        )
+        keep = jnp.concatenate(
+            [avail_b[:-1] | (suffix[1:] > 0), avail_b[-1:]], axis=0
+        )
+    else:
+        keep = avail_b
+    route = jnp.cumprod(keep.astype(dtype), axis=0)  # cumulative AND
+    rows = {
+        "route_mask": route,
+        "obs_mask": route * avail,
+        "avail": avail,
+        "y_col": jnp.nan_to_num(yT, nan=0.0).astype(dtype),
+        "w_col": wT,
+    }
+    return x_pad, rows
 
 
 def _static_plan_xs(xs_np):
@@ -330,11 +384,21 @@ def _kernel_field_xs(vs, all_names, m, p, W, cfg, dtype):
                     dummy,
                     shift=p_start,
                 )
-            if cfg["nonlinear"]:
-                xs["nl_gate"][pi] = 1.0
-                xs["outnl_var"][pi] = _field_idx(
-                    offsets, f"{pi}/output/nonlin/var", 1, 1, dummy
-                )[0]
+        # The output terms exist whenever pi > 0 (``gpar/regression.py:
+        # 141,149`` condition on the LAYER index, not the selection
+        # width): at markov=0 the selection is empty and the nonlinear
+        # EQ/RQ over zero dimensions degenerates to a CONSTANT
+        # ``variance * 1`` kernel — a reference quirk the gate must
+        # reproduce, so ``nl_gate`` keys on pi > 0 while the per-dim
+        # ``out_gate`` stays zero (an all-gated EQ evaluates to exactly
+        # 1, matching ``select([])``).  The empty-selection Linear term
+        # contributes exactly zero either way.
+        if cfg["nonlinear"] and pi > 0:
+            xs["nl_gate"][pi] = 1.0
+            xs["outnl_var"][pi] = _field_idx(
+                offsets, f"{pi}/output/nonlin/var", 1, 1, dummy
+            )[0]
+            if p_num > 0:
                 xs["outnl_scales"][pi] = _field_idx(
                     offsets,
                     f"{pi}/output/nonlin/scales",
@@ -350,14 +414,36 @@ def _kernel_field_xs(vs, all_names, m, p, W, cfg, dtype):
 
 def build_scan_fit_plan(reg, all_names):
     """Build the per-layer stacked scan inputs from the regressor's data
-    caches and variable store (everything here is concrete NumPy)."""
-    cfg = reg.model_config
-    m, p, n = reg.m, reg.p, reg.n
-    W = m + p  # p - 1 real output columns + one gated scratch column
-    dtype = np.dtype(np.asarray(reg.x).dtype)
+    caches and variable store (everything here is concrete NumPy).
 
-    y_np = np.asarray(reg.y)
-    w_np = np.asarray(reg.w)
+    Uses the host copies ``_rebuild_data_caches`` keeps (``reg._x_np``
+    etc.) when present: on a remote-attached chip every ``np.asarray``
+    of a device array is a fresh device->host fetch through the relay —
+    measurable per-request latency (PERF.md finding 27)."""
+    x_np = getattr(reg, "_x_np", None)
+    if x_np is not None:
+        return build_scan_data_plan(reg, x_np, reg._y_np, reg._w_np, all_names)
+    return build_scan_data_plan(
+        reg, np.asarray(reg.x), np.asarray(reg.y), np.asarray(reg.w),
+        all_names,
+    )
+
+
+def build_scan_data_plan(reg, x_np, y_np, w_np, all_names):
+    """Scan plan from EXPLICIT data arrays rather than the regressor's
+    conditioned caches — the host-side half shared by the fit plan
+    (``build_scan_fit_plan``) and the scored-data logpdf plan
+    (``GPARRegressor.logpdf`` evaluates data that need not be the
+    conditioned dataset, ``gpar/regression.py:461-506``).  The row arrays
+    (:data:`_ROW_KEYS`) carry this data's values and NaN routing; the
+    model-structure arrays depend only on the variable store and config,
+    so two plans over different datasets share a
+    :func:`plan_static_fingerprint`."""
+    cfg = reg.model_config
+    m, p, n = x_np.shape[1], y_np.shape[1], x_np.shape[0]
+    W = m + p  # p - 1 real output columns + one gated scratch column
+    dtype = np.dtype(x_np.dtype)
+
     avail = ~np.isnan(y_np)
 
     # Absolute row masks: the cumulative per_output routing
@@ -1375,6 +1461,200 @@ def make_scan_free_fit_body(
     def program(z_all, x, layer_keys):
         x_p = jnp.pad(x, ((0, n_pad), (0, 0))) if n_pad else x
         return _run(z_all, x_p, dict(xs_dev), layer_keys)
+
+    return program
+
+
+def make_scan_logpdf_body(plan, x_ind, rows_traced=False):
+    """Scan-fused PRIOR logpdf of a dataset: ``program(z_all, x[, xs_rows])
+    -> scalar`` — the chain accumulation of ``GPAR.logpdf``
+    (``gpar/model.py:178-243`` with ``only_last_layer=False``,
+    ``sample_missing=False``) in the shape-uniform scan form, backing
+    ``GPARRegressor.logpdf(posterior=False)``
+    (``gpar/regression.py:461-506``).
+
+    Exactly the fixed fit body's chain (:func:`make_scan_fit_body`) minus
+    the per-layer L-BFGS: per layer, the masked marginal likelihood
+    (:func:`_layer_nll_factors` — Titsias ELBO or masked dense MVN) at the
+    CURRENT latents, then one impute/replace augmentation step
+    (:func:`_augment_cols`).  The total logpdf is the negated sum of the
+    per-layer NLLs.
+
+    With ``rows_traced`` (shape bucketing), the scored data's row arrays
+    (values, weights, NaN routing — :func:`pad_plan_rows`) and the
+    inducing inputs ride in as traced arguments, so the compiled program
+    is data-independent: one executable per (model structure, row bucket)
+    scores every dataset in the size range — the held-out model-comparison
+    loop pays ZERO per-dataset compiles.
+    """
+    m, p, W = plan.m, plan.p, plan.W
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def program(z_all, x, xs_rows=None):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        x_aug = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+        )
+        if sparse:
+            zi = _zi(x_ind, zi_t, dtype)
+            zi_aug = jnp.concatenate(
+                [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug = jnp.zeros((0, W), dtype)
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+
+        def step(carry, lin):
+            x_aug, zi_aug = carry
+            nll, factors = _layer_nll_factors(
+                plan, lin, z_ext, x_aug, zi_aug, eps
+            )
+            est_rows, est_ind = _est_from_factors(plan, factors)
+            x_aug, zi_aug = _augment_cols(
+                plan, lin, est_rows, est_ind, x_aug, zi_aug
+            )
+            return (x_aug, zi_aug), nll
+
+        _, layer_nll = lax.scan(step, (x_aug, zi_aug), xs)
+        return -jnp.sum(layer_nll)
+
+    return program
+
+
+def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
+    """Scan-fused POSTERIOR logpdf of new data given cached per-layer
+    posterior factors: ``program(z_all, factors, x[, xs_rows, tr_mask])
+    -> scalar`` — ``GPARRegressor.logpdf(posterior=True)``
+    (``gpar/regression.py:461-506``: condition on the training data, then
+    ``GPAR.logpdf`` of the scored data under the posterior layers).
+
+    ``plan`` is the SCORED data's plan (:func:`build_scan_data_plan`):
+    its row arrays are the new data's values/weights/NaN routing;
+    ``factors`` are the training-side per-layer posterior factors from
+    :func:`make_scan_posterior_factors` (any impute/replace combination).
+    Per layer the step reproduces the GP core's nested-conditioning
+    algebra exactly (``gp/core.py``):
+
+    - sparse: the new data forms ``PseudoObs`` under the posterior layer
+      (``gpar/model.py:287`` on posterior layers) — the Titsias factors
+      of the POSTERIOR prior, whose mean/covariances come from the cached
+      training factors (``SparsePosteriorGP.mean_vec/cov``), evaluated at
+      the scoring chain's own augmented inducing inputs (``GPAR.logpdf``
+      restarts the ``x_ind`` augmentation from the original inducing
+      inputs, ``gpar/model.py:199,251``);
+    - dense: exact MVN of the residual under the posterior predictive at
+      the new rows (``Obs`` on a ``PosteriorGP``), masked rows as
+      identity rows; ``tr_mask`` (p, n_train[_bucket]) carries the
+      training chain's per-layer observation masks (the cached ``L``/
+      ``alpha`` were factorised with masked rows neutralised, so the
+      cross-covariance must mask the same rows — exactly as
+      :func:`make_scan_cached_tail` does).
+
+    The augmentation step feeds ``condition(f_post, obs_new).mean``
+    forward (``gpar/model.py:291-322``): sequential conditioning, equal
+    to the GP core's train+new joint refactorisation by Gaussian algebra.
+
+    With ``rows_traced``, the scored data's row arrays AND the training
+    mask ride in as traced arguments — one executable per (model
+    structure, training-row bucket, scored-row bucket).
+    """
+    m, p, W = plan.m, plan.p, plan.W
+    sparse = plan.sparse
+    xs_np = plan.xs
+
+    def program(z_all, factors, x, xs_rows=None, tr_mask=None):
+        dtype = x.dtype
+        eps = resolve_epsilon(dtype)
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
+        z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
+        x_aug = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+        )
+        if sparse:
+            zi = _zi(x_ind, zi_t, dtype)
+            zi_aug = jnp.concatenate(
+                [zi, jnp.zeros((zi.shape[0], W - m), dtype)], axis=1
+            )
+        else:
+            zi_aug = jnp.zeros((0, W), dtype)
+        if rows_traced:
+            xs = _static_plan_xs(xs_np)
+            xs.update(xs_rows)
+        else:
+            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+        xs["fac"] = factors
+        if not sparse:
+            xs["tr_mask"] = (
+                jnp.asarray(tr_mask)
+                if tr_mask is not None
+                else jnp.asarray(np.asarray(plan.xs["obs_mask"]))
+            )
+
+        def step(carry, lin):
+            x_aug, zi_aug = carry
+            kernel, noise = _layer_kernel(plan, lin, z_ext)
+            noise_w = floor_noise(noise / lin["w_col"])
+            omask = lin["obs_mask"]
+            r = lin["y_col"]  # zero-filled; masked rows neutralised
+            fac = lin["fac"]
+            if sparse:
+                # Posterior mean/cov from the training factors
+                # (SparsePosteriorGP algebra), at the scoring chain's
+                # augmented data and inducing buffers.
+                zi_tr = fac["zi_aug"]
+                Km_x = gram(kernel, zi_tr, x_aug)
+                T1x = solve_lower(fac["Lm"], Km_x)
+                T2x = solve_lower(fac["LB"], T1x)
+                Km_z = gram(kernel, zi_tr, zi_aug)
+                T1z = solve_lower(fac["Lm"], Km_z)
+                T2z = solve_lower(fac["LB"], T1z)
+                mean_x = Km_x.T @ fac["beta"]
+                mean_z = Km_z.T @ fac["beta"]
+                Kmm_p = gram(kernel, zi_aug, zi_aug) - T1z.T @ T1z + T2z.T @ T2z
+                Kmn_p = gram(kernel, zi_aug, x_aug) - T1z.T @ T1x + T2z.T @ T2x
+                knn_p = (
+                    kdiag(kernel, x_aug)
+                    - jnp.sum(T1x * T1x, axis=0)
+                    + jnp.sum(T2x * T2x, axis=0)
+                )
+                elbo, _Lm_n, _LB_n, beta_n = titsias_factors(
+                    Kmm_p, Kmn_p, knn_p, r, mean_x, noise_w, mask=omask
+                )
+                nll = -elbo
+                # condition(f_post, obs_new).mean — the nested sparse
+                # posterior's mean (gp/core.py SparsePosteriorGP.mean_vec
+                # with base = the training posterior).
+                est_rows = mean_x + Kmn_p.T @ beta_n
+                est_ind = mean_z + Kmm_p @ beta_n
+            else:
+                Kxt = gram(kernel, fac["x_aug"], x_aug) * lin["tr_mask"][:, None]
+                mean_x = Kxt.T @ fac["alpha"]
+                V = solve_lower(fac["L"], Kxt)
+                Kp = gram(kernel, x_aug, x_aug) - V.T @ V
+                lp, alpha_n, _L_n = _masked_dense_factors(
+                    Kp, (r - mean_x) * omask, omask, noise_w, eps
+                )
+                nll = -lp
+                # Sequential conditioning: posterior-over-(train+new)
+                # mean at the new rows (alpha_n is zero at masked rows,
+                # so the unmasked Kp matvec reads only observed columns).
+                est_rows = mean_x + Kp @ alpha_n
+                est_ind = None
+            x_aug, zi_aug = _augment_cols(
+                plan, lin, est_rows, est_ind, x_aug, zi_aug
+            )
+            return (x_aug, zi_aug), nll
+
+        _, layer_nll = lax.scan(step, (x_aug, zi_aug), xs)
+        return -jnp.sum(layer_nll)
 
     return program
 

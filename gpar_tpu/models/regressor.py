@@ -108,6 +108,26 @@ def _uprank(x):
     raise ValueError(f"Cannot uprank tensor of rank {x.ndim}.")
 
 
+def _uprank_host(x):
+    """``_uprank(_to_jnp(x))`` without forcing host data onto the device:
+    NumPy (and list/scalar) inputs stay NumPy at the default dtype, jax
+    arrays take the jnp path.  Host ingest pipelines (condition/logpdf)
+    build everything host-side and upload ONCE — each eager device op on
+    a remote-attached chip is a relay round-trip (PERF.md finding 27)."""
+    if x is None:
+        return None
+    if isinstance(x, jax.Array):
+        return _uprank(x)
+    x = np.asarray(x, dtype=np.dtype(default_dtype()))
+    if x.ndim == 0:
+        return x[None, None]
+    if x.ndim == 1:
+        return x[:, None]
+    if x.ndim == 2:
+        return x
+    raise ValueError(f"Cannot uprank tensor of rank {x.ndim}.")
+
+
 def _model_generator(
     vs,
     m,  # input dimensionality
@@ -414,6 +434,11 @@ class GPARRegressor:
         # Single-slot padded-input cache for the shape-bucketed programs
         # (see _bucket_fit_inputs).
         self._bucket_cache = None
+        # Single-slot scan-plan cache (see _scan_fit_plan) and host copies
+        # of the conditioned data (avoid repeat device->host fetches).
+        self._plan_cache = None
+        self._x_np = self._y_np = self._w_np = None
+        self._x_ind_dev = None
         self._vars_ready = None
         self.x = None  # Inputs of training data
         self.y = None  # Outputs of training data
@@ -508,21 +533,30 @@ class GPARRegressor:
         """
         # Validate/permute before mutating any state: a width mismatch
         # against a fitted greedy ordering must leave the estimator
-        # untouched, not half-updated.
-        y = self._permute_outputs(_uprank(_to_jnp(y)))
+        # untouched, not half-updated.  Host (NumPy) inputs stay host-side
+        # through permute/transform/normalise and upload ONCE at the end —
+        # the previous flow's eager device ops + stat fetches cost ~2.5 s
+        # per fresh dataset through the relay (PERF.md finding 27).  A jax
+        # input (or a jnp-based transform_y) falls through to device ops,
+        # with one fetch for the stats.
+        y = self._permute_outputs(_uprank_host(y))
         if w is not None:
-            w = self._permute_outputs(_uprank(_to_jnp(w)))
-        self.x = _uprank(_to_jnp(x))
-        self.y = self._transform_y(y)
-        self.w = _init_weights(w, self.y)
-        self.n, self.m = self.x.shape
-        self.p = self.y.shape[1]
+            w = self._permute_outputs(_uprank_host(w))
+        x = _uprank_host(x)
+        y = self._transform_y(y)
+        host = not (
+            isinstance(x, jax.Array)
+            or isinstance(y, jax.Array)
+            or isinstance(w, jax.Array)
+        )
+        self.n, self.m = x.shape
+        self.p = y.shape[1]
 
         # NaN-aware per-output normalisation with the std == 0 -> 1 guard
         # (``gpar/regression.py:356-386``).  Statistics are host-side: the
         # data is concrete here.
         if self.normalise_y:
-            y_np = np.asarray(self.y)
+            y_np = np.asarray(y)
             means, stds = [], []
             for i in range(self.p):
                 available = ~np.isnan(y_np[:, i])
@@ -531,8 +565,11 @@ class GPARRegressor:
                 std = np.std(y_i, ddof=1) if y_i.size > 1 else 0.0
                 stds.append(std if std > 0 else 1.0)
 
-            means = jnp.asarray(means, dtype=self.y.dtype)[None, :]
-            stds = jnp.asarray(stds, dtype=self.y.dtype)[None, :]
+            # NumPy stats: broadcasting against traced/jnp operands inside
+            # programs works unchanged, while host pipelines stay off the
+            # device.
+            means = np.asarray(means, dtype=y_np.dtype)[None, :]
+            stds = np.asarray(stds, dtype=y_np.dtype)[None, :]
 
             def normalise_y(y_):
                 return (y_ - means) / stds
@@ -549,27 +586,59 @@ class GPARRegressor:
                 "stds": np.asarray(stds),
             }
 
-            self.y = normalise_y(self.y)
+            y = normalise_y(y)
 
-        self.is_conditioned = True
-        self._rebuild_data_caches()
+        if host:
+            x_np = np.asarray(x)
+            y_np = np.asarray(y)
+            w_np = (
+                np.ones(y_np.shape, dtype=y_np.dtype)
+                if w is None
+                else np.asarray(w, dtype=y_np.dtype)
+            )
+            self.x = jnp.asarray(x_np)
+            self.y = jnp.asarray(y_np)
+            self.w = jnp.asarray(w_np)
+            self.is_conditioned = True
+            self._rebuild_data_caches(x_np=x_np, y_np=y_np, w_np=w_np)
+        else:
+            self.x = _uprank(_to_jnp(x))
+            self.y = jnp.asarray(y)
+            self.w = _init_weights(
+                None if w is None else jnp.asarray(w), self.y
+            )
+            self.is_conditioned = True
+            self._rebuild_data_caches()
 
-    def _rebuild_data_caches(self):
+    def _rebuild_data_caches(self, x_np=None, y_np=None, w_np=None):
         """Host-side caches computed once per dataset: the per_output mask
         plan (pure NumPy; eager per-layer device gathers cost a dispatch
         round-trip each) and the content fingerprint keying compiled
         programs (one device->host fetch instead of one per fit/predict).
-        Called by :meth:`condition` and by checkpoint restore."""
-        y_np, w_np = np.asarray(self.y), np.asarray(self.w)
+        Called by :meth:`condition` and by checkpoint restore.  Host
+        copies may be passed in when the caller already has them (the
+        condition() host path) — each ``np.asarray`` of a device array
+        here is otherwise a fresh device->host fetch through the relay."""
+        if y_np is None:
+            y_np, w_np = np.asarray(self.y), np.asarray(self.w)
+        if x_np is None:
+            x_np = np.asarray(self.x)
         self._y_cache = {
             k: list(per_output(y_np, w_np, keep=k)) for k in (True, False)
         }
         self._data_fingerprint = _fingerprint(y_np, w_np, self.x_ind)
+        # Host copies for later host-side consumers (the scan-plan build):
+        # on a remote-attached chip every np.asarray of a device array is
+        # a fresh device->host fetch — one per fresh dataset is enough
+        # (PERF.md finding 27).
+        self._x_np = x_np
+        self._y_np, self._w_np = y_np, w_np
         self._vars_ready = None
         # Posterior factors belong to the previous dataset; release the
         # device memory eagerly (the key would miss anyway).
         self._factor_cache = None
         self._bucket_cache = None
+        self._plan_cache = None
 
     def fit(self, x, y, w=None, greedy=False, fix=True, **kw_args):
         """Fit the model to data (``gpar/regression.py:391-459``).
@@ -1183,6 +1252,31 @@ class GPARRegressor:
         (:func:`gpar_tpu.params.optim.lbfgs_traced_restarts`) — all inside
         the same single XLA program.
         """
+        from ..config import config as _cfg
+
+        # Preflight for a latent libtpu abort (PERF.md finding 24): a fresh
+        # x64 compile of the mesh fit with restarts>1 (vmap of the
+        # shard_map'd layer objective) hard-crashes libtpu's memory-space
+        # assignment ("Check failed: memory_space == existing_required_
+        # assignment->memory_space", v5e) — a process abort, not a Python
+        # error.  The construct is correct JAX (the identical f32 program
+        # and the identical x64 program on a CPU mesh both run), so raise a
+        # clear error instead of letting the runtime kill the process.
+        if (
+            restarts > 1
+            and _cfg.mesh is not None
+            and np.asarray(self.x).dtype == np.float64
+            and any(
+                d.platform == "tpu" for d in _cfg.mesh.devices.flat[:1]
+            )
+        ):
+            raise RuntimeError(
+                "fit(restarts>1) under a TPU mesh in float64 aborts inside "
+                "libtpu (memory-space assignment check; PERF.md finding "
+                "24). Use float32 on TPU (GPAR_TPU_NO_X64=1, the "
+                "production mode), or run the x64 fit on a CPU mesh "
+                "(parity testing), or set restarts=1."
+            )
         p = self.p
         if restarts > 1 and key is None:
             key = next_key()
@@ -1197,9 +1291,7 @@ class GPARRegressor:
         # HLO is now data-independent).
         bucketed = self._fit_bucketed(scan)
         if bucketed:
-            from .fused import build_scan_fit_plan
-
-            plan = build_scan_fit_plan(self, all_names)
+            plan = self._scan_fit_plan(all_names)
             n_b, x_fit, xs_rows = self._bucket_fit_inputs(plan)
         else:
             n_b, x_fit, xs_rows = self.n, self.x, None
@@ -1307,12 +1399,9 @@ class GPARRegressor:
                     "fused=True or fused='unroll'."
                 )
             if scan:
-                from .fused import (
-                    build_scan_fit_plan,
-                    make_scan_free_fit_body,
-                )
+                from .fused import make_scan_free_fit_body
 
-                plan = build_scan_fit_plan(self, all_names)
+                plan = self._scan_fit_plan(all_names)
                 return make_scan_free_fit_body(
                     plan, self.x_ind, iters, gtol, memory_size, restarts,
                     restart_scale, rows_traced=rows_traced,
@@ -1323,17 +1412,17 @@ class GPARRegressor:
                 restart_scale,
             )
         if scan == "batched":
-            from .fused import build_scan_fit_plan, make_batched_fit_body
+            from .fused import make_batched_fit_body
 
-            plan = build_scan_fit_plan(self, all_names)
+            plan = self._scan_fit_plan(all_names)
             return make_batched_fit_body(
                 plan, iters, gtol, memory_size, restarts, restart_scale
             )
         if scan:
             from ..config import config as _cfg
-            from .fused import build_scan_fit_plan, make_scan_fit_body
+            from .fused import make_scan_fit_body
 
-            plan = build_scan_fit_plan(self, all_names)
+            plan = self._scan_fit_plan(all_names)
             return make_scan_fit_body(
                 plan, self.x_ind, iters, gtol, memory_size, restarts,
                 restart_scale, mesh=_cfg.mesh, shard_axis=_cfg.shard_axis,
@@ -1573,9 +1662,7 @@ class GPARRegressor:
         bucketed = False
         n_b = self.n
         if scan_tail:
-            from .fused import build_scan_fit_plan
-
-            plan = build_scan_fit_plan(self, all_names)
+            plan = self._scan_fit_plan(all_names)
             bucketed = self._fit_bucketed(scan)
             if bucketed:
                 n_b = bucket_rows(self.n)
@@ -1939,18 +2026,25 @@ class GPARRegressor:
                 )
         any_jax = isinstance(x, jax.Array) or isinstance(y, jax.Array)
 
-        x = _uprank(_to_jnp(x))
+        # Host inputs stay host-side through permute/transform/renorm
+        # (numpy normalisation stats): the scored data is consumed as
+        # NumPy below (the NaN plan build), so eager device ops here were
+        # pure relay round-trips (PERF.md finding 27).
+        x = _uprank_host(x)
         # NOTE(reference parity): the reference applies `_unnormalise_y`
         # here (``gpar/regression.py:483``) — not `_normalise_y` — and adds
         # no Jacobian terms for the transforms.  ``compat=True`` (default)
         # reproduces it literally; ``compat=False`` applies the intended
         # normalisation.
         renorm = self._unnormalise_y if self.compat else self._normalise_y
-        y = self._permute_outputs(_uprank(_to_jnp(y)))
+        y = self._permute_outputs(_uprank_host(y))
         if w is not None:
-            w = self._permute_outputs(_uprank(_to_jnp(w)))
+            w = self._permute_outputs(_uprank_host(w))
         y = renorm(self._transform_y(y))
-        w = _init_weights(w, y)
+        if isinstance(y, jax.Array):
+            w = _init_weights(w, y)
+        elif w is None:
+            w = np.ones(np.shape(y), dtype=np.asarray(y).dtype)
         m, p = x.shape[1], y.shape[1]
 
         if posterior and not self.is_conditioned:
@@ -1959,11 +2053,6 @@ class GPARRegressor:
                 "conditioned on yet (call fit() or condition() first)."
             )
 
-        # One jitted program per (data fingerprint, flags): the NaN mask
-        # plan of `y` is static, hyperparameters and `x` are traced — the
-        # compiled executable is reused across repeated scoring calls on
-        # the same data (e.g. a held-out-likelihood loop) and across
-        # hyperparameter changes.
         y_np, w_np = np.asarray(y), np.asarray(w)
         if posterior:
             self._ensure_vars(self.p)
@@ -1975,6 +2064,34 @@ class GPARRegressor:
         if sample_missing and key is None:
             key = next_key()
 
+        # Scan-fused, shape-bucketed scoring (the production path): the
+        # scored data's values/weights/NaN plan ride in as TRACED
+        # arguments (fused._ROW_KEYS / pad_plan_rows), so ONE compiled
+        # program per (model structure, row bucket) serves every dataset
+        # in the size range — a held-out scoring loop over fresh datasets
+        # (the standard model-comparison use, ``gpar/regression.py:
+        # 461-506``) pays zero per-dataset compiles, and fresh estimator
+        # instances share the executable (``_shared_jit``).
+        # ``sample_missing`` (needs in-chain draws) and an active mesh
+        # (the GP-core path already shards through ``Obs``/``PseudoObs``'s
+        # distributed branches) stay on the legacy exact-shape program
+        # below, as does ``config.shape_buckets=False``.
+        from ..config import config as _cfg
+
+        if (
+            not sample_missing
+            and _cfg.scan_predict
+            and _cfg.shape_buckets
+            and _cfg.mesh is None
+            and y_np.shape[0] > 0
+        ):
+            value = self._logpdf_scan(x, y_np, w_np, names, z, posterior)
+            if value is not None:
+                return value if any_jax else float(value)
+
+        # Legacy exact-shape program: one jitted executable per (data
+        # fingerprint, flags) — the NaN mask plan of `y` is static,
+        # hyperparameters and `x` are traced.
         def program(z, x, key):
             view = self.vs.with_latent_vector(names, z)
             gpar = _construct_gpar(self, view, m, p)
@@ -2009,6 +2126,90 @@ class GPARRegressor:
             value = float(value)
 
         return value
+
+    def _bucket_score_inputs(self, plan, x):
+        """Padded (bucket size, x, traced per-row plan arrays) for a
+        shape-bucketed program over SCORED data (``logpdf``'s argument
+        dataset, not the conditioned caches — cf. the cached
+        :meth:`_bucket_fit_inputs`)."""
+        from ..config import bucket_rows
+        from .fused import pad_plan_rows
+
+        n_b = bucket_rows(plan.n)
+        if n_b > plan.n:
+            x_pad = jnp.asarray(
+                np.pad(np.asarray(x), ((0, n_b - plan.n), (0, 0)))
+            )
+        else:
+            x_pad = jnp.asarray(x)
+        xs_rows = pad_plan_rows(plan, n_b)
+        if plan.sparse:
+            # Traced like the fit plans': inducing inputs are data-derived
+            # in every reference workload (see _bucket_fit_inputs).
+            xs_rows["x_ind"] = jnp.asarray(
+                np.asarray(self.x_ind), dtype=np.asarray(x).dtype
+            )
+        return n_b, x_pad, xs_rows
+
+    def _logpdf_scan(self, x, y_np, w_np, names, z, posterior):
+        """Shape-bucketed scan-fused logpdf dispatch (both prior and
+        posterior); returns ``None`` when ineligible (the caller falls
+        back to the legacy exact-shape program).
+
+        Matches ``gpar/regression.py:461-506`` through
+        :func:`fused.make_scan_logpdf_body` (prior chain) /
+        :func:`fused.make_scan_posterior_logpdf_tail` (scored data under
+        the per-layer posteriors, consuming the cached factors of
+        :func:`fused.make_scan_posterior_factors`)."""
+        from .fused import (
+            build_scan_data_plan,
+            make_scan_logpdf_body,
+            make_scan_posterior_logpdf_tail,
+        )
+
+        plan = build_scan_data_plan(self, np.asarray(x), y_np, w_np, names)
+        if posterior and (plan.p != self.p or plan.m != self.m):
+            # The factors stack self.p layers over self.m input columns;
+            # scoring a different width re-derives through the GP core.
+            return None
+        n_b, x_pad, xs_rows = self._bucket_score_inputs(plan, x)
+
+        if not posterior:
+            jit_key = (
+                "logpdf_scan", n_b, plan.m, plan.p, mesh_descriptor(),
+            ) + self._bucket_share_key(plan)
+
+            def _build():
+                return jax.jit(
+                    make_scan_logpdf_body(plan, self.x_ind, rows_traced=True)
+                )
+
+            fn = _shared_jit(jit_key, self._transform_pins(), _build)
+            return fn(z, x_pad, xs_rows)
+
+        plan_tr = self._scan_fit_plan(names)
+        n_b_tr, _x_tr, xs_rows_tr = self._bucket_fit_inputs(plan_tr)
+        if not self._factor_cache_eligible(plan_tr, n_rows=n_b_tr):
+            # Dense factor stack over budget (or the cache disabled):
+            # re-conditioning per call through the GP core is the
+            # reference behaviour (``gpar/regression.py:499``).
+            return None
+        factors = self._posterior_factors(plan_tr, names, z)
+        tr_mask = None if plan.sparse else xs_rows_tr["obs_mask"]
+        jit_key = (
+            "logpdf_post_scan", n_b, n_b_tr, plan.m, plan.p,
+            mesh_descriptor(),
+        ) + self._bucket_share_key(plan)
+
+        def _build():
+            return jax.jit(
+                make_scan_posterior_logpdf_tail(
+                    plan, self.x_ind, rows_traced=True
+                )
+            )
+
+        fn = _shared_jit(jit_key, self._transform_pins(), _build)
+        return fn(z, factors, x_pad, xs_rows, tr_mask)
 
     def sample(
         self,
@@ -2161,9 +2362,7 @@ class GPARRegressor:
         bucketed = False
         n_b = None
         if scan_tail:
-            from .fused import build_scan_fit_plan
-
-            plan = build_scan_fit_plan(self, names)
+            plan = self._scan_fit_plan(names)
             bucketed = bucket_candidate
             n_b = bucket_rows(self.n) if bucketed else self.n
             if self.replace and self._factor_cache_eligible(plan, n_rows=n_b):
@@ -2470,33 +2669,57 @@ class GPARRegressor:
     def _transform_pins(self):
         return (self._transform_y, self._untransform_y)
 
+    def _scan_fit_plan(self, all_names):
+        """The conditioned dataset's scan plan, cached per (dataset,
+        variable layout): a fresh ``fit_predict`` request builds the plan
+        2-3 times (fit body, posterior factors, serving tail) — the numpy
+        work is cheap, but each rebuild re-fetched ``y``/``w`` from the
+        device through the relay (PERF.md finding 27)."""
+        from .fused import build_scan_fit_plan
+
+        key = (self._data_fingerprint, tuple(all_names))
+        slot = self._plan_cache
+        if slot is not None and slot[0] == key:
+            return slot[1]
+        plan = build_scan_fit_plan(self, all_names)
+        self._plan_cache = (key, plan)
+        return plan
+
     def _bucket_fit_inputs(self, plan):
         """Padded (bucket size, x, per-row plan arrays) for the
-        shape-bucketed scan programs, cached per (dataset, bucket)."""
+        shape-bucketed scan programs, cached per (dataset, bucket).
+
+        Built ON DEVICE from the already-resident conditioned data
+        (``fused.device_bucket_inputs``, one dispatch): the host path
+        (``pad_plan_rows`` + five (p, n_b) ``jnp.asarray`` uploads) cost
+        seconds of per-fresh-dataset latency through the relay (PERF.md
+        finding 27).  Values are oracle-pinned equal
+        (``tests/test_buckets.py::test_device_bucket_inputs_match_host``).
+        """
         from ..config import bucket_rows
-        from .fused import pad_plan_rows
+        from .fused import device_bucket_inputs
 
         n_b = bucket_rows(plan.n)
         key = (self._data_fingerprint, n_b)
         slot = self._bucket_cache
         if slot is not None and slot[0] == key:
             return n_b, slot[1], slot[2]
-        if n_b > plan.n:
-            x_pad = jnp.asarray(
-                np.pad(np.asarray(self.x), ((0, n_b - plan.n), (0, 0)))
-            )
-        else:
-            x_pad = self.x
-        xs_rows = pad_plan_rows(plan, n_b)
+        x_pad, xs_rows = device_bucket_inputs(
+            self.x, self.y, self.w, n_b=n_b, impute=bool(self.impute)
+        )
         if plan.sparse:
             # Inducing inputs ride as a traced argument too: they are
             # data-derived in every reference workload (linspace over the
             # data range, examples/paper/air_temp.py:33), and baking them
             # as HLO constants would defeat cross-instance reuse via the
-            # persistent compile cache.
-            xs_rows["x_ind"] = jnp.asarray(
-                np.asarray(self.x_ind), dtype=np.asarray(self.x).dtype
-            )
+            # persistent compile cache.  The device copy is cached per
+            # instance (x_ind never changes after construction).
+            if self._x_ind_dev is None:
+                self._x_ind_dev = jnp.asarray(
+                    np.asarray(self.x_ind), dtype=x_pad.dtype
+                )
+            xs_rows = dict(xs_rows)
+            xs_rows["x_ind"] = self._x_ind_dev
         self._bucket_cache = (key, x_pad, xs_rows)
         return n_b, x_pad, xs_rows
 
@@ -2665,9 +2888,7 @@ class GPARRegressor:
             return False
         self._ensure_vars(self.p)
         names = self.vs.select(None)
-        from .fused import build_scan_fit_plan
-
-        plan = build_scan_fit_plan(self, names)
+        plan = self._scan_fit_plan(names)
         if not self._factor_cache_eligible(plan):
             return False
         self._posterior_factors(plan, names, self.vs.latent_vector(names))
@@ -2761,8 +2982,12 @@ class GPARRegressor:
             credible_bounds (bool): Warm the bounds-reducing serving
                 programs.
             paths (tuple, optional): Which programs to warm, a subset of
-                ``("fit", "predict", "fit_predict")``.  Defaults to
-                ``("fit",)`` without ``n_test`` and all three with it.
+                ``("fit", "predict", "fit_predict", "logpdf")``.
+                Defaults to ``("fit", "logpdf")`` without ``n_test`` and
+                all four with it.  ``"logpdf"`` warms the bucketed
+                scoring programs: the prior chain at the training bucket
+                (and the ``n_test`` bucket when given) plus the posterior
+                tail and its factor program.
             **fit_kwargs: Optimiser options of the production ``fit`` /
                 ``fit_predict`` calls (``iters=``, ``gtol=``,
                 ``memory_size=``, ``restarts=``, ``restart_scale=``,
@@ -2796,9 +3021,9 @@ class GPARRegressor:
             )
         fix = fit_kwargs.pop("fix", True)
         if paths is None:
-            paths = ("fit",) if n_test is None else (
-                "fit", "predict", "fit_predict")
-        unknown = set(paths) - {"fit", "predict", "fit_predict"}
+            paths = ("fit", "logpdf") if n_test is None else (
+                "fit", "predict", "fit_predict", "logpdf")
+        unknown = set(paths) - {"fit", "predict", "fit_predict", "logpdf"}
         if unknown:
             raise ValueError(f"Unknown warmup() paths: {sorted(unknown)}")
         if ("predict" in paths or "fit_predict" in paths) and n_test is None:
@@ -2847,6 +3072,24 @@ class GPARRegressor:
             t0 = _time.perf_counter()
             scratch.fit(x_d, y_d, fix=fix, **fit_kwargs)
             seconds["fit"] = _time.perf_counter() - t0
+        if "logpdf" in paths:
+            # Prior chain at the training bucket, plus — with n_test — the
+            # scoring bucket and the posterior tail (whose factor program,
+            # shared with the repeated-serving path, warms alongside).
+            if not scratch.is_conditioned:
+                scratch.condition(x_d, y_d)
+            t0 = _time.perf_counter()
+            scratch.logpdf(x_d, y_d)
+            if n_test is not None:
+                z_t = 0.5 * rng.standard_normal((n_test, p))
+                y_t = np.asarray(
+                    self._untransform_y(jnp.asarray(z_t)), dtype=float
+                )
+                scratch.logpdf(x_t, y_t)
+                scratch.logpdf(x_t, y_t, posterior=True)
+            else:
+                scratch.logpdf(x_d, y_d, posterior=True)
+            seconds["logpdf"] = _time.perf_counter() - t0
         if "predict" in paths:
             t0 = _time.perf_counter()
             scratch.predict(

@@ -30,6 +30,19 @@ from ..config import default_dtype
 __all__ = ["Vars", "VarsView"]
 
 
+def _backend(x):
+    """NumPy for host values, jnp for jax/traced values.
+
+    Variable creation and eager reads (``vs.bnd`` inside the lazy
+    ``model()`` closures, ``vs[name]``) operate on host latents — routing
+    them through jnp would cost one device round-trip per op, and on a
+    remote-attached chip creating a 16-layer model's ~100 variables
+    measured ~3 s of pure relay dispatch (PERF.md finding 27).  The
+    fused bodies constrain TRACED latents through these same transform
+    objects, which must stay jnp."""
+    return np if isinstance(x, (np.ndarray, np.generic, float, int)) else jnp
+
+
 class _Identity:
     def constrain(self, latent):
         return latent
@@ -46,10 +59,17 @@ class _LowerBounded:
         self.lower = lower
 
     def constrain(self, latent):
-        return self.lower + jnp.exp(latent)
+        return self.lower + _backend(latent).exp(latent)
 
     def unconstrain(self, value):
-        return jnp.log(jnp.asarray(value) - self.lower)
+        b = _backend(value)
+        if b is np:
+            # value == lower gives a -inf latent (exp(-inf) = 0 restores
+            # the bound exactly) — jnp produced it silently; keep numpy
+            # quiet for parity (e.g. the reference's noise=1e-8 floor).
+            with np.errstate(divide="ignore"):
+                return np.log(np.asarray(value) - self.lower)
+        return b.log(b.asarray(value) - self.lower)
 
 
 class _Bounded:
@@ -62,12 +82,13 @@ class _Bounded:
 
     def constrain(self, latent):
         width = self.upper - self.lower
-        return self.lower + width / (1.0 + jnp.exp(-latent))
+        return self.lower + width / (1.0 + _backend(latent).exp(-latent))
 
     def unconstrain(self, value):
-        value = jnp.asarray(value)
+        b = _backend(value)
+        value = b.asarray(value)
         frac = (value - self.lower) / (self.upper - self.lower)
-        return jnp.log(frac) - jnp.log1p(-frac)
+        return b.log(frac) - b.log1p(-frac)
 
 
 class Vars:
@@ -90,7 +111,10 @@ class Vars:
         if name is None:
             raise ValueError("Variables must be named.")
         if name not in self._latents:
-            init = jnp.asarray(init, dtype=self.dtype)
+            # Entirely host-side: eager jnp here costs 2-3 relay
+            # round-trips PER VARIABLE on a remote-attached chip
+            # (PERF.md finding 27).
+            init = np.asarray(init, dtype=self.dtype)
             self._latents[name] = np.asarray(
                 transform.unconstrain(init), dtype=self.dtype
             )

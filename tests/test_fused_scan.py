@@ -55,6 +55,15 @@ CONFIGS = {
         normalise_y=True,
     ),
     "nonlinear": dict(noise=0.1, nonlinear=True, linear=False, normalise_y=True),
+    # markov=0 + nonlinear: the reference's output term conditions on the
+    # LAYER index (``gpar/regression.py:141,149``), so an empty selection
+    # degenerates the nonlinear kernel to a CONSTANT variance term — the
+    # scan body's nl_gate must keep it (r5 regression: the gate keyed on
+    # selection width and silently dropped the constant for every
+    # markov=0 fit; caught through the fused logpdf oracle).
+    "markov0-nonlinear": dict(
+        noise=0.1, markov=0, nonlinear=True, normalise_y=False
+    ),
 }
 
 

@@ -360,3 +360,34 @@ def test_dense_estimator_under_mesh_end_to_end():
     for name in reg_d.vs.names:
         approx(reg_s.vs[name], reg_d.vs[name], atol=1e-4)
     approx(lp_s, lp_d, atol=1e-4)
+
+
+def test_tpu_x64_mesh_restarts_guard():
+    # PERF.md finding 24: a fresh x64 compile of the mesh fit with
+    # restarts>1 hard-aborts inside libtpu (memory-space assignment
+    # check).  The estimator must refuse that combination with a clear
+    # Python error instead of letting the runtime kill the process.  A
+    # stub TPU mesh stands in for real hardware: the guard fires before
+    # any computation touches the mesh.  The supported alternative — the
+    # identical x64 fit with restarts>1 on a CPU mesh — is pinned green
+    # by test_mesh_fit_with_restarts above.
+    import types
+
+    import pytest
+
+    import gpar_tpu
+    from gpar_tpu import GPARRegressor
+
+    fake_dev = types.SimpleNamespace(platform="tpu")
+    fake_mesh = types.SimpleNamespace(
+        axis_names=("dp",), devices=np.array([fake_dev] * 8, dtype=object)
+    )
+
+    rng = np.random.default_rng(0)
+    n = 64
+    x = np.sort(rng.uniform(0, 10, n))
+    y = np.stack([np.sin(x), np.cos(x)], 1)
+    reg = GPARRegressor(noise=0.1, normalise_y=False)
+    with gpar_tpu.use_mesh(fake_mesh, min_rows=8):
+        with pytest.raises(RuntimeError, match="libtpu.*finding\\s*\\n?\\s*24"):
+            reg.fit(x, y, iters=3, restarts=2, key=jax.random.PRNGKey(0))

@@ -467,13 +467,19 @@ def test_jit_cache_respects_config_changes():
     y = np.stack([np.sin(x), np.cos(x)], axis=1) + 0.05 * rng.standard_normal((20, 2))
     r = GPARRegressor(noise=0.1, normalise_y=False)
     r.condition(x, y)
+    # The bucketed logpdf programs live in the cross-instance shared
+    # cache; both caches key on mesh_descriptor(), which carries the
+    # numeric-config knobs.
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+
     old_eps = config.epsilon
     try:
         lp1 = r.logpdf(x, y, posterior=True)
-        n_prog = len(r._jit_cache)
+        n_prog = len(r._jit_cache) + len(_SHARED_JIT_CACHE)
         config.epsilon = 1e-4  # very different jitter
         lp2 = r.logpdf(x, y, posterior=True)
-        assert len(r._jit_cache) == n_prog + 1  # retraced, not reused
+        # Retraced, not reused (new shared entries for the new jitter).
+        assert len(r._jit_cache) + len(_SHARED_JIT_CACHE) > n_prog
         assert lp1 != lp2  # the new jitter actually took effect
     finally:
         config.epsilon = old_eps
