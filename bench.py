@@ -150,6 +150,85 @@ def report_quality(reg, mean, f_test, gates):
     )
 
 
+def main_serve():
+    """``--serve``: the production serving story, driver-visible
+    (VERDICT r4 №5).  One process = one serving worker: ``warmup()``
+    pre-compiles the bucketed programs for two adjacent row buckets,
+    then a sweep of fresh datasets — FRESH estimator instance per
+    request, row counts spread across both buckets — runs
+    ``fit_predict`` end to end.  Reports per-request latency p50/p95 on
+    stderr and ONE JSON line (p95) on stdout.
+
+    What the sweep proves: request latency is the warm number, not a
+    per-dataset XLA compile — every data-derived value rides into the
+    shared executables as a traced argument.  The first request per
+    bucket after ``warmup()`` isolates the residual host-side cost
+    (plan construction + transfer), the tail requests the steady state.
+    """
+    gpar_tpu.config.epsilon = 1e-6
+    from gpar_tpu.config import bucket_rows
+
+    p, n_test, num_samples, iters = 16, 1024, 100, 10
+    nA = 10_000
+    bA = bucket_rows(nA)
+    nB = bA + 1  # first count in the NEXT bucket
+    bB = bucket_rows(nB)
+    counts = [nA, nA + 350, bA, nB, nB + 300, nB + 600]
+    assert all(bucket_rows(c) in (bA, bB) for c in counts)
+
+    # Warm both buckets from synthetic data (no real data needed).
+    proto = build_model(np.array([0.0, 10.0]))
+    t0 = time.time()
+    proto.warmup(nA, p, n_test=n_test, num_samples=num_samples,
+                 iters=iters, paths=("fit_predict",))
+    proto.warmup(nB, p, n_test=n_test, num_samples=num_samples,
+                 iters=iters, paths=("fit_predict",))
+    t_warm = time.time() - t0
+    print(f"[bench-serve] warmup (buckets {bA} + {bB}): {t_warm:.1f}s",
+          file=sys.stderr)
+
+    lat = []
+    for i, n_i in enumerate(counts):
+        x, y, f = make_data(n_i, p, seed=100 + i)
+        xt = x[:: max(1, n_i // n_test)][:n_test]
+        reg = build_model(x)  # fresh instance: a new request
+        set_seed(1000 + i)
+        t0 = time.time()
+        mean, lo, up = reg.fit_predict(
+            x, y, xt, iters=iters, num_samples=num_samples,
+            credible_bounds=True,
+        )
+        dt = time.time() - t0
+        assert np.isfinite(mean).all()
+        lat.append(dt)
+        print(
+            f"[bench-serve] request {i}: n={n_i} bucket={bucket_rows(n_i)} "
+            f"fit_predict {dt:.2f}s", file=sys.stderr,
+        )
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat) // 2]
+    p95 = lat_sorted[min(len(lat) - 1, int(round(0.95 * (len(lat) - 1))))]
+    first_per_bucket = {bucket_rows(counts[0]): lat[0],
+                        bucket_rows(nB): lat[3]}
+    print(
+        f"[bench-serve] latency p50 {p50:.2f}s p95 {p95:.2f}s "
+        f"(first request per bucket: "
+        + ", ".join(f"{b}: {t:.2f}s" for b, t in first_per_bucket.items())
+        + ")",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "gpar_serve_fresh_dataset_p95_wall_clock",
+                "value": round(p95, 3),
+                "unit": "s",
+                "vs_baseline": round(TARGET_SECONDS / p95, 3),
+            }
+        )
+    )
+
+
 def main():
     gpar_tpu.config.epsilon = 1e-6  # float32 jitter floor
 
@@ -246,4 +325,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--serve" in sys.argv:
+        main_serve()
+    else:
+        main()
