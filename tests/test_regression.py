@@ -475,11 +475,17 @@ def test_jit_cache_respects_config_changes():
     old_eps = config.epsilon
     try:
         lp1 = r.logpdf(x, y, posterior=True)
-        n_prog = len(r._jit_cache) + len(_SHARED_JIT_CACHE)
+        n_jit = len(r._jit_cache)
+        keys_before = set(_SHARED_JIT_CACHE)
         config.epsilon = 1e-4  # very different jitter
         lp2 = r.logpdf(x, y, posterior=True)
-        # Retraced, not reused (new shared entries for the new jitter).
-        assert len(r._jit_cache) + len(_SHARED_JIT_CACHE) > n_prog
+        # Retraced, not reused: genuinely NEW program entries for the new
+        # jitter (key-set membership, not counts — the shared cache is a
+        # bounded LRU and may be at capacity mid-suite).
+        assert (
+            set(_SHARED_JIT_CACHE) - keys_before
+            or len(r._jit_cache) > n_jit
+        )
         assert lp1 != lp2  # the new jitter actually took effect
     finally:
         config.epsilon = old_eps
