@@ -2127,28 +2127,32 @@ class GPARRegressor:
 
         return value
 
-    def _bucket_score_inputs(self, plan, x):
+    def _bucket_score_inputs(self, plan, x, y_np, w_np):
         """Padded (bucket size, x, traced per-row plan arrays) for a
         shape-bucketed program over SCORED data (``logpdf``'s argument
         dataset, not the conditioned caches — cf. the cached
-        :meth:`_bucket_fit_inputs`)."""
+        :meth:`_bucket_fit_inputs`).
+
+        Uploads the scored x/y/w once and derives the per-row plan
+        arrays ON DEVICE (``fused.device_bucket_inputs`` — 3 transfers +
+        1 dispatch instead of 6 uploads incl. the five padded (p, n_b)
+        host-built row arrays; PERF.md finding 27)."""
         from ..config import bucket_rows
-        from .fused import pad_plan_rows
+        from .fused import device_bucket_inputs
 
         n_b = bucket_rows(plan.n)
-        if n_b > plan.n:
-            x_pad = jnp.asarray(
-                np.pad(np.asarray(x), ((0, n_b - plan.n), (0, 0)))
-            )
-        else:
-            x_pad = jnp.asarray(x)
-        xs_rows = pad_plan_rows(plan, n_b)
+        x_pad, xs_rows = device_bucket_inputs(
+            np.asarray(x), y_np, w_np, n_b=n_b, impute=bool(self.impute)
+        )
         if plan.sparse:
             # Traced like the fit plans': inducing inputs are data-derived
             # in every reference workload (see _bucket_fit_inputs).
-            xs_rows["x_ind"] = jnp.asarray(
-                np.asarray(self.x_ind), dtype=np.asarray(x).dtype
-            )
+            if self._x_ind_dev is None:
+                self._x_ind_dev = jnp.asarray(
+                    np.asarray(self.x_ind), dtype=x_pad.dtype
+                )
+            xs_rows = dict(xs_rows)
+            xs_rows["x_ind"] = self._x_ind_dev
         return n_b, x_pad, xs_rows
 
     def _logpdf_scan(self, x, y_np, w_np, names, z, posterior):
@@ -2172,7 +2176,7 @@ class GPARRegressor:
             # The factors stack self.p layers over self.m input columns;
             # scoring a different width re-derives through the GP core.
             return None
-        n_b, x_pad, xs_rows = self._bucket_score_inputs(plan, x)
+        n_b, x_pad, xs_rows = self._bucket_score_inputs(plan, x, y_np, w_np)
 
         if not posterior:
             jit_key = (

@@ -293,3 +293,34 @@ def test_greedy_batched_scores_match_per_candidate():
                 0, x_np[m], y_np[m, o], w_np[m, o], 25, 1e-9, 10
             )
             np.testing.assert_allclose(nlls_b[o], nll_s, rtol=1e-4, atol=1e-4)
+
+
+def test_greedy_logpdf_bucketed_matches_legacy():
+    # A greedy ordering permutes the scored columns AND the bucketed
+    # programs' gather maps (the plan fingerprint covers the reorder);
+    # the scan-fused bucketed logpdf must agree with the legacy GP-core
+    # path under it, prior and posterior.
+    from gpar_tpu.config import config
+
+    x, y = _chain_data(n=40)
+    reg = GPARRegressor(noise=0.1, compat=False, normalise_y=True)
+    reg.fit(x, y, greedy=True, iters=10)
+    assert reg.order is not None
+
+    rng = np.random.default_rng(3)
+    xs = np.linspace(0.0, 10.0, 25)
+    ys = np.stack(
+        [rng.standard_normal(25), np.sin(xs) + 0.05 * rng.standard_normal(25)],
+        axis=1,
+    )
+    lp_b = reg.logpdf(xs, ys)
+    lpp_b = reg.logpdf(xs, ys, posterior=True)
+    prev = config.shape_buckets
+    config.shape_buckets = False
+    try:
+        lp_e = reg.logpdf(xs, ys)
+        lpp_e = reg.logpdf(xs, ys, posterior=True)
+    finally:
+        config.shape_buckets = prev
+    np.testing.assert_allclose(lp_b, lp_e, rtol=1e-9, atol=1e-7)
+    np.testing.assert_allclose(lpp_b, lpp_e, rtol=1e-9, atol=1e-7)
