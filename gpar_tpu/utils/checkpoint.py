@@ -114,9 +114,11 @@ def load_state_dict(state, transform_y=None):
 
         stats = state.get("norm_stats")
         if stats is not None:
-            means = jnp.asarray(stats["means"])
-            stds = jnp.asarray(stats["stds"])
-            reg._norm_stats = {"means": np.asarray(means), "stds": np.asarray(stds)}
+            # NumPy stats, matching condition(): host pipelines stay off
+            # the device, traced programs fold them as constants.
+            means = np.asarray(stats["means"])
+            stds = np.asarray(stats["stds"])
+            reg._norm_stats = {"means": means, "stds": stds}
             reg._normalise_y = lambda y_: (y_ - means) / stds
             reg._unnormalise_y = lambda y_: y_ * stds + means
     return reg
