@@ -1592,11 +1592,19 @@ def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
             xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
         xs["fac"] = factors
         if not sparse:
-            xs["tr_mask"] = (
-                jnp.asarray(tr_mask)
-                if tr_mask is not None
-                else jnp.asarray(np.asarray(plan.xs["obs_mask"]))
-            )
+            if tr_mask is None:
+                # The scored plan's own obs_mask is NOT a valid stand-in:
+                # the cached L/alpha were factorised with the TRAINING
+                # chain's masked rows neutralised, and masking the
+                # cross-covariance with the scored data's NaN pattern
+                # would be silently wrong (or a shape error).
+                raise ValueError(
+                    "make_scan_posterior_logpdf_tail: dense factors need "
+                    "the training chain's per-layer observation masks "
+                    "(tr_mask, shape (p, n_train[_bucket]) — e.g. "
+                    "GPARRegressor._bucket_fit_inputs' obs_mask)."
+                )
+            xs["tr_mask"] = jnp.asarray(tr_mask)
 
         def step(carry, lin):
             x_aug, zi_aug = carry

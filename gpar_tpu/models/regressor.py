@@ -1265,7 +1265,7 @@ class GPARRegressor:
         if (
             restarts > 1
             and _cfg.mesh is not None
-            and np.asarray(self.x).dtype == np.float64
+            and self.x.dtype == jnp.float64
             and any(
                 d.platform == "tpu" for d in _cfg.mesh.devices.flat[:1]
             )
@@ -2147,12 +2147,8 @@ class GPARRegressor:
         if plan.sparse:
             # Traced like the fit plans': inducing inputs are data-derived
             # in every reference workload (see _bucket_fit_inputs).
-            if self._x_ind_dev is None:
-                self._x_ind_dev = jnp.asarray(
-                    np.asarray(self.x_ind), dtype=x_pad.dtype
-                )
             xs_rows = dict(xs_rows)
-            xs_rows["x_ind"] = self._x_ind_dev
+            xs_rows["x_ind"] = self._x_ind_traced(x_pad.dtype)
         return n_b, x_pad, xs_rows
 
     def _logpdf_scan(self, x, y_np, w_np, names, z, posterior):
@@ -2673,6 +2669,19 @@ class GPARRegressor:
     def _transform_pins(self):
         return (self._transform_y, self._untransform_y)
 
+    def _x_ind_traced(self, dtype):
+        """Device copy of the inducing inputs at ``dtype``, cached per
+        dtype (x_ind never changes after construction; an f32 scored-data
+        call must not poison the f64 training programs' copy)."""
+        dt = jnp.dtype(dtype)
+        if self._x_ind_dev is None:
+            self._x_ind_dev = {}
+        arr = self._x_ind_dev.get(dt)
+        if arr is None:
+            arr = jnp.asarray(np.asarray(self.x_ind), dtype=dt)
+            self._x_ind_dev[dt] = arr
+        return arr
+
     def _scan_fit_plan(self, all_names):
         """The conditioned dataset's scan plan, cached per (dataset,
         variable layout): a fresh ``fit_predict`` request builds the plan
@@ -2716,14 +2725,10 @@ class GPARRegressor:
             # data-derived in every reference workload (linspace over the
             # data range, examples/paper/air_temp.py:33), and baking them
             # as HLO constants would defeat cross-instance reuse via the
-            # persistent compile cache.  The device copy is cached per
-            # instance (x_ind never changes after construction).
-            if self._x_ind_dev is None:
-                self._x_ind_dev = jnp.asarray(
-                    np.asarray(self.x_ind), dtype=x_pad.dtype
-                )
+            # persistent compile cache.  Device copy cached per dtype
+            # (:meth:`_x_ind_traced`).
             xs_rows = dict(xs_rows)
-            xs_rows["x_ind"] = self._x_ind_dev
+            xs_rows["x_ind"] = self._x_ind_traced(x_pad.dtype)
         self._bucket_cache = (key, x_pad, xs_rows)
         return n_b, x_pad, xs_rows
 

@@ -88,6 +88,11 @@ class _Bounded:
         b = _backend(value)
         value = b.asarray(value)
         frac = (value - self.lower) / (self.upper - self.lower)
+        if b is np:
+            # value at a bound gives a +/-inf latent — jnp produced it
+            # silently; keep numpy quiet for parity (cf. _LowerBounded).
+            with np.errstate(divide="ignore"):
+                return np.log(frac) - np.log1p(-frac)
         return b.log(frac) - b.log1p(-frac)
 
 

@@ -100,9 +100,23 @@ def pytest_collection_modifyitems(items):
     invocation stays the full suite — the only honest gate."""
     import pytest as _pytest
 
+    seen = set()
+    files = set()
     for item in items:
         key = f"{item.fspath.basename}::{item.name.split('[')[0]}"
-        if key in _HEAVY and item.get_closest_marker("heavy") is None:
-            item.add_marker(_pytest.mark.heavy)
+        files.add(item.fspath.basename)
+        if key in _HEAVY:
+            seen.add(key)
+            if item.get_closest_marker("heavy") is None:
+                item.add_marker(_pytest.mark.heavy)
         if item.get_closest_marker("heavy") is None:
             item.add_marker(_pytest.mark.quick)
+    # Renamed/moved heavy tests must not silently demote into the quick
+    # tier.  Only enforced on full-suite collections (node-id/-k subset
+    # runs legitimately collect a few items from a file); the full suite
+    # is what CI and `make test` run, so drift gets loud there.
+    if len(items) >= 250:
+        stale = {k for k in _HEAVY - seen if k.split("::")[0] in files}
+        assert not stale, (
+            f"_HEAVY entries match no collected test: {sorted(stale)}"
+        )
