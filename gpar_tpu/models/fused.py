@@ -132,16 +132,23 @@ def pad_plan_rows(plan, n_rows):
     return out
 
 
-@partial(jax.jit, static_argnames=("n_b", "impute"))
 def device_bucket_inputs(x, y, w, *, n_b, impute):
-    """Bucketed fit inputs computed ON DEVICE from the already-resident
-    conditioned data — the serving-latency replacement for the host path
-    (``pad_plan_rows`` + five (p, n_b) host->device transfers through the
-    relay; PERF.md finding 27).
+    """Bucketed fit inputs: one upload of the bucket-padded data + ONE
+    per-BUCKET jitted program deriving the per-layer row arrays on
+    device — the serving-latency replacement for the old host path
+    (``pad_plan_rows`` + five (p, n_b) host-built uploads; PERF.md
+    finding 27).
 
-    One dispatch: pads ``x``/``y``/``w`` to the row bucket (y with NaN, w
-    with 1 — so padded rows drop out of every mask) and derives the
-    per-layer row arrays (:data:`_ROW_KEYS`) — the closed-downwards
+    Padding happens host-side in NumPy (the data is host-resident in
+    every ingest path — ``condition`` keeps host copies, ``logpdf``
+    scores user arrays): y pads with NaN and w with 1, so padded rows
+    drop out of every mask.  An earlier revision padded INSIDE the jit
+    from the unpadded shapes, which re-specialised (and recompiled,
+    ~0.7 s each through the relay compile service) for every distinct
+    dataset row count; the bucket-shaped program compiles once per
+    bucket and serves every n inside it (PERF.md finding 29).
+
+    The device half derives :data:`_ROW_KEYS` — the closed-downwards
     ``per_output`` routing of ``gpar/model.py:325-368`` as cumulative
     mask algebra.  Values equal ``pad_plan_rows(build_scan_data_plan(
     ...), n_b)`` exactly (oracle-pinned,
@@ -150,13 +157,25 @@ def device_bucket_inputs(x, y, w, *, n_b, impute):
     Returns ``(x_pad, rows)`` with ``rows`` the traced-argument dict the
     bucketed programs consume.
     """
+    x = np.asarray(x)
+    y = np.asarray(y)
+    w = np.asarray(w)
     pad = n_b - y.shape[0]
     dtype = x.dtype
-    x_pad = jnp.pad(x, ((0, pad), (0, 0)))
-    yT = jnp.pad(y, ((0, pad), (0, 0)), constant_values=jnp.nan).T
-    wT = jnp.pad(
+    x_pad = np.pad(x, ((0, pad), (0, 0)))
+    y_pad = np.pad(y, ((0, pad), (0, 0)), constant_values=np.nan)
+    w_pad = np.pad(
         w.astype(dtype), ((0, pad), (0, 0)), constant_values=1.0
-    ).T
+    )
+    return _device_plan_rows(x_pad, y_pad, w_pad, impute=impute)
+
+
+@partial(jax.jit, static_argnames=("impute",))
+def _device_plan_rows(x_pad, y_pad, w_pad, *, impute):
+    """The bucket-shaped device half of :func:`device_bucket_inputs`."""
+    dtype = x_pad.dtype
+    yT = y_pad.T
+    wT = w_pad.astype(dtype).T
     avail_b = ~jnp.isnan(yT)  # (p, n_b)
     avail = avail_b.astype(dtype)
     if impute:
@@ -178,7 +197,7 @@ def device_bucket_inputs(x, y, w, *, n_b, impute):
         "y_col": jnp.nan_to_num(yT, nan=0.0).astype(dtype),
         "w_col": wT,
     }
-    return x_pad, rows
+    return jnp.asarray(x_pad), rows
 
 
 def _static_plan_xs(xs_np):

@@ -2718,7 +2718,11 @@ class GPARRegressor:
         if slot is not None and slot[0] == key:
             return n_b, slot[1], slot[2]
         x_pad, xs_rows = device_bucket_inputs(
-            self.x, self.y, self.w, n_b=n_b, impute=bool(self.impute)
+            self._x_np if self._x_np is not None else self.x,
+            self._y_np if self._y_np is not None else self.y,
+            self._w_np if self._w_np is not None else self.w,
+            n_b=n_b,
+            impute=bool(self.impute),
         )
         if plan.sparse:
             # Inducing inputs ride as a traced argument too: they are
