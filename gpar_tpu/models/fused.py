@@ -1484,7 +1484,8 @@ def make_scan_free_fit_body(
     return program
 
 
-def make_scan_logpdf_body(plan, x_ind, rows_traced=False):
+def make_scan_logpdf_body(plan, x_ind, rows_traced=False, mesh=None,
+                          shard_axis="dp"):
     """Scan-fused PRIOR logpdf of a dataset: ``program(z_all, x[, xs_rows])
     -> scalar`` — the chain accumulation of ``GPAR.logpdf``
     (``gpar/model.py:178-243`` with ``only_last_layer=False``,
@@ -1505,18 +1506,28 @@ def make_scan_logpdf_body(plan, x_ind, rows_traced=False):
     is data-independent: one executable per (model structure, row bucket)
     scores every dataset in the size range — the held-out model-comparison
     loop pays ZERO per-dataset compiles.
+
+    With ``mesh`` (requires ``rows_traced``), the whole chain runs inside
+    one ``shard_map`` with the scored rows sharded over ``shard_axis`` —
+    the same geometry as the fit body's mesh path (sparse layers
+    psum-reduce the Titsias ELBO, dense layers factorise through the
+    distributed blocked Cholesky), so huge held-out datasets score with
+    O(n/P) per-device work AND per-bucket compile reuse.
     """
     m, p, W = plan.m, plan.p, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
+    if mesh is not None and not rows_traced:
+        raise ValueError(
+            "make_scan_logpdf_body: the mesh form is shape-bucketed only "
+            "(rows_traced=True)."
+        )
 
-    def program(z_all, x, xs_rows=None):
-        dtype = x.dtype
-        eps = resolve_epsilon(dtype)
-        xs_rows, zi_t = _pop_x_ind(xs_rows)
+    def _chain(z_all, x_local, xs, zi_t, eps, blk=None, n_dev=1):
+        dtype = x_local.dtype
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
         x_aug = jnp.concatenate(
-            [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
+            [x_local, jnp.zeros((x_local.shape[0], W - m), dtype)], axis=1
         )
         if sparse:
             zi = _zi(x_ind, zi_t, dtype)
@@ -1525,17 +1536,18 @@ def make_scan_logpdf_body(plan, x_ind, rows_traced=False):
             )
         else:
             zi_aug = jnp.zeros((0, W), dtype)
-        if rows_traced:
-            xs = _static_plan_xs(xs_np)
-            xs.update(xs_rows)
-        else:
-            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
 
         def step(carry, lin):
             x_aug, zi_aug = carry
-            nll, factors = _layer_nll_factors(
-                plan, lin, z_ext, x_aug, zi_aug, eps
-            )
+            if mesh is None:
+                nll, factors = _layer_nll_factors(
+                    plan, lin, z_ext, x_aug, zi_aug, eps
+                )
+            else:
+                nll, factors = _mesh_layer_nll_factors(
+                    plan, lin, z_ext, x_aug, zi_aug, eps, shard_axis,
+                    blk, n_dev,
+                )
             est_rows, est_ind = _est_from_factors(plan, factors)
             x_aug, zi_aug = _augment_cols(
                 plan, lin, est_rows, est_ind, x_aug, zi_aug
@@ -1544,6 +1556,77 @@ def make_scan_logpdf_body(plan, x_ind, rows_traced=False):
 
         _, layer_nll = lax.scan(step, (x_aug, zi_aug), xs)
         return -jnp.sum(layer_nll)
+
+    if mesh is None:
+
+        def program(z_all, x, xs_rows=None):
+            eps = resolve_epsilon(x.dtype)
+            xs_rows, zi_t = _pop_x_ind(xs_rows)
+            if rows_traced:
+                xs = _static_plan_xs(xs_np)
+                xs.update(xs_rows)
+            else:
+                xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+            return _chain(z_all, x, xs, zi_t, eps)
+
+        return program
+
+    # Mesh form: same structure as make_scan_fit_body's bucketed mesh
+    # branch — committed replicated model-structure inputs (the shard_map
+    # constant-folding hazard, PERF.md finding 18), traced row arrays
+    # sharded over the row axis, geometry padding from the bucket inside
+    # the trace.
+    from jax.sharding import PartitionSpec as PSpec
+
+    n_dev = mesh.devices.size
+    xs_static_dev = _shard_plan_xs(
+        {k: v for k, v in xs_np.items() if k not in _ROW_KEYS},
+        mesh, shard_axis, 0,
+    )
+
+    def _geometry(n_rows):
+        if sparse:
+            return (-n_rows) % n_dev, None
+        from ..config import config as _cfg
+        from ..parallel.dense import _pad_geometry
+
+        nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
+        return n_dev * nloc_b - n_rows, blk
+
+    def program(z_all, x, xs_rows=None):
+        eps = resolve_epsilon(x.dtype)
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
+        n_pad_b, blk = _geometry(x.shape[0])
+        x_p = jnp.pad(x, ((0, n_pad_b), (0, 0))) if n_pad_b else x
+        xs = dict(xs_static_dev)
+        for k, v in xs_rows.items():
+            if n_pad_b:
+                cval = 1.0 if k == "w_col" else 0.0
+                v = jnp.pad(v, ((0, 0), (0, n_pad_b)), constant_values=cval)
+            xs[k] = v
+        xs_specs = {
+            k: PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec()
+            for k in xs
+        }
+
+        def local(z_all, x_loc, xs_loc, zi_t=None):
+            return _chain(z_all, x_loc, xs_loc, zi_t, eps, blk, n_dev)
+
+        if zi_t is not None:
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(PSpec(), PSpec(shard_axis), xs_specs, PSpec()),
+                out_specs=PSpec(),
+            )
+            return fn(z_all, x_p, xs, zi_t)
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PSpec(), PSpec(shard_axis), xs_specs),
+            out_specs=PSpec(),
+        )
+        return fn(z_all, x_p, xs)
 
     return program
 

@@ -2072,17 +2072,26 @@ class GPARRegressor:
         # (the standard model-comparison use, ``gpar/regression.py:
         # 461-506``) pays zero per-dataset compiles, and fresh estimator
         # instances share the executable (``_shared_jit``).
-        # ``sample_missing`` (needs in-chain draws) and an active mesh
-        # (the GP-core path already shards through ``Obs``/``PseudoObs``'s
-        # distributed branches) stay on the legacy exact-shape program
-        # below, as does ``config.shape_buckets=False``.
+        # ``sample_missing`` (needs in-chain draws) stays on the legacy
+        # exact-shape program below, as does ``config.shape_buckets=
+        # False``.  Under an active mesh the PRIOR chain runs the
+        # bucketed scan inside one shard_map (rows sharded, same geometry
+        # as the mesh fit) when there are enough rows to shard; the
+        # posterior tail and small-n mesh scoring use the GP-core path,
+        # which shards through ``Obs``/``PseudoObs``'s distributed
+        # branches.
         from ..config import config as _cfg
 
+        mesh_ok = _cfg.mesh is None or (
+            not posterior
+            and y_np.shape[0]
+            >= max(_cfg.shard_min_rows, _cfg.mesh.devices.size)
+        )
         if (
             not sample_missing
             and _cfg.scan_predict
             and _cfg.shape_buckets
-            and _cfg.mesh is None
+            and mesh_ok
             and y_np.shape[0] > 0
         ):
             value = self._logpdf_scan(x, y_np, w_np, names, z, posterior)
@@ -2175,13 +2184,18 @@ class GPARRegressor:
         n_b, x_pad, xs_rows = self._bucket_score_inputs(plan, x, y_np, w_np)
 
         if not posterior:
+            from ..config import config as _cfg
+
             jit_key = (
                 "logpdf_scan", n_b, plan.m, plan.p, mesh_descriptor(),
             ) + self._bucket_share_key(plan)
 
             def _build():
                 return jax.jit(
-                    make_scan_logpdf_body(plan, self.x_ind, rows_traced=True)
+                    make_scan_logpdf_body(
+                        plan, self.x_ind, rows_traced=True,
+                        mesh=_cfg.mesh, shard_axis=_cfg.shard_axis,
+                    )
                 )
 
             fn = _shared_jit(jit_key, self._transform_pins(), _build)

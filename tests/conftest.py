@@ -67,6 +67,7 @@ _HEAVY = {
     "test_greedy.py::test_greedy_batched_scorer_recovers_known_permutation",
     "test_greedy.py::test_greedy_picks_predictable_output_first",
     "test_buckets.py::test_greedy_scorer_shared_across_instances",
+    "test_buckets.py::test_bucketed_logpdf_under_mesh_matches_single_device",
     "test_buckets.py::test_bucketed_fit_predict_under_mesh_matches_exact",
     "test_buckets.py::test_bucketed_greedy_reuses_scorer_and_matches_exact",
     "test_buckets.py::test_bucketed_fit_predict_matches_exact",

@@ -802,3 +802,42 @@ def test_device_bucket_inputs_match_host():
             np.pad(np.asarray(reg.x), ((0, n_b - plan.n), (0, 0))),
             rtol=0, atol=0,
         )
+
+
+def test_bucketed_logpdf_under_mesh_matches_single_device():
+    # The PRIOR logpdf chain composes with a mesh: the bucketed scan runs
+    # inside one shard_map (rows sharded, fit-body geometry) and must
+    # match the single-device value to rounding — sparse (psum ELBO) and
+    # dense (distributed blocked Cholesky) — while reusing the compiled
+    # mesh program across datasets in the bucket.
+    import jax as _jax
+
+    import gpar_tpu
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+    from gpar_tpu.parallel.sharded import make_mesh
+
+    x, y = _data(n=48, seed=1)
+    xs1, ys1 = _data(n=40, seed=2)
+    xs2, ys2 = _data(n=50, seed=4)
+    assert bucket_rows(40) == bucket_rows(50)
+    mesh = make_mesh(8, devices=_jax.devices("cpu"))
+
+    for kw in (
+        dict(noise=0.1, normalise_y=True),  # dense
+        dict(
+            noise=0.1, x_ind=np.linspace(0, 6, 9), impute=True,
+            normalise_y=False,
+        ),  # sparse
+    ):
+        reg = GPARRegressor(**kw)
+        reg.condition(x, y)
+        lp_single = reg.logpdf(xs1, ys1)
+        with gpar_tpu.use_mesh(mesh, min_rows=8):
+            lp_mesh = reg.logpdf(xs1, ys1)
+            keys = set(_SHARED_JIT_CACHE)
+            lp_mesh2 = reg.logpdf(xs2, ys2)
+            assert set(_SHARED_JIT_CACHE) == keys  # bucket reuse
+        approx(lp_mesh, lp_single, rtol=1e-9, atol=1e-8)
+        with _no_buckets():
+            lp2_ref = reg.logpdf(xs2, ys2)
+        approx(lp_mesh2, lp2_ref, rtol=1e-9, atol=1e-8)
