@@ -426,7 +426,7 @@ class GPARRegressor:
         #: L-BFGS iteration counts (fused path), wall-clock, path taken.
         self.last_fit_report = None
         # Host-side per-dataset caches (populated by condition()).
-        self._y_cache = None
+        self._y_cache_val = None
         self._data_fingerprint = None
         # Single-slot device-side posterior-factor cache (the repeated-
         # serving fast path; see _posterior_factors / precompute()).
@@ -440,9 +440,9 @@ class GPARRegressor:
         self._x_np = self._y_np = self._w_np = None
         self._x_ind_dev = None
         self._vars_ready = None
-        self.x = None  # Inputs of training data
-        self.y = None  # Outputs of training data
-        self.w = None  # Weights for every time stamp
+        self._x_dev = None  # Inputs of training data (device, lazy)
+        self._y_dev = None  # Outputs of training data (device, lazy)
+        self._w_dev = None  # Weights (device, lazy)
         self.n = None  # Number of data points
         self.m = None  # Number of input features
         self.p = None  # Number of outputs
@@ -499,6 +499,46 @@ class GPARRegressor:
                 "columns."
             )
         return a[..., np.argsort(np.asarray(self.order))]
+
+    @property
+    def x(self):
+        """Conditioned inputs as a device array (``reg.x`` — reference
+        attribute, ``gpar/regression.py:339-389``), materialised LAZILY
+        from the host copy: the bucketed flows never read it, so fresh
+        datasets skip the exact-shape upload (PERF.md finding 30)."""
+        if self._x_dev is None and self._x_np is not None:
+            self._x_dev = jnp.asarray(self._x_np)
+        return self._x_dev
+
+    @x.setter
+    def x(self, v):
+        self._x_dev = v
+
+    @property
+    def y(self):
+        if self._y_dev is None and self._y_np is not None:
+            self._y_dev = jnp.asarray(self._y_np)
+        return self._y_dev
+
+    @y.setter
+    def y(self, v):
+        self._y_dev = v
+
+    @property
+    def w(self):
+        if self._w_dev is None and self._w_np is not None:
+            self._w_dev = jnp.asarray(self._w_np)
+        return self._w_dev
+
+    @w.setter
+    def w(self, v):
+        self._w_dev = v
+
+    def _data_dtype(self):
+        """The conditioned data's dtype without touching the device."""
+        if self._x_np is not None:
+            return self._x_np.dtype
+        return self.x.dtype
 
     def _ensure_vars(self, p):
         """Instantiate every layer's variables once per (m, p).
@@ -596,9 +636,14 @@ class GPARRegressor:
                 if w is None
                 else np.asarray(w, dtype=y_np.dtype)
             )
-            self.x = jnp.asarray(x_np)
-            self.y = jnp.asarray(y_np)
-            self.w = jnp.asarray(w_np)
+            # No eager device upload: the conditioned data lives on the
+            # host, and the device copies (``self.x`` etc.) materialise
+            # LAZILY on first access.  Bucketed production flows consume
+            # only the padded device arrays (``device_bucket_inputs``),
+            # so they never pay the exact-shape transfer at all — at
+            # n=52.5k/p=32 the double upload cost ~4 s per fresh dataset
+            # (PERF.md finding 30).
+            self.x = self.y = self.w = None
             self.is_conditioned = True
             self._rebuild_data_caches(x_np=x_np, y_np=y_np, w_np=w_np)
         else:
@@ -609,6 +654,20 @@ class GPARRegressor:
             )
             self.is_conditioned = True
             self._rebuild_data_caches()
+
+    @property
+    def _y_cache(self):
+        """Precomputed ``per_output`` replay items (the dict overload,
+        ``gpar/regression.py:412-414``), built LAZILY on first access:
+        the build is O(p²·n) host memcpy and only the legacy/unrolled
+        paths replay it — eagerly building it in ``condition`` cost
+        ~10 s at n=52.5k/p=32 (PERF.md finding 30)."""
+        if self._y_cache_val is None and self._y_np is not None:
+            self._y_cache_val = {
+                k: list(per_output(self._y_np, self._w_np, keep=k))
+                for k in (True, False)
+            }
+        return self._y_cache_val
 
     def _rebuild_data_caches(self, x_np=None, y_np=None, w_np=None):
         """Host-side caches computed once per dataset: the per_output mask
@@ -623,9 +682,12 @@ class GPARRegressor:
             y_np, w_np = np.asarray(self.y), np.asarray(self.w)
         if x_np is None:
             x_np = np.asarray(self.x)
-        self._y_cache = {
-            k: list(per_output(y_np, w_np, keep=k)) for k in (True, False)
-        }
+        # The per_output replay cache is LAZY: building it is O(p^2 n)
+        # host memcpy (measured 9.8 s at n=52.5k/p=32 — the dominant cost
+        # of conditioning on a large dataset) and only the legacy/
+        # unrolled paths consume it; the bucketed production flows never
+        # touch it (PERF.md finding 30).
+        self._y_cache_val = None
         self._data_fingerprint = _fingerprint(y_np, w_np, self.x_ind)
         # Host copies for later host-side consumers (the scan-plan build):
         # on a remote-attached chip every np.asarray of a device array is
@@ -746,9 +808,8 @@ class GPARRegressor:
         Returns:
             np.ndarray: permutation; layer ``pi`` models output ``ret[pi]``.
         """
-        y_np = np.asarray(self.y)  # transformed + normalised
-        w_np = np.asarray(self.w)
-        x_np = np.asarray(self.x)
+        # Host copies kept by condition() (transformed + normalised).
+        y_np, w_np, x_np = self._y_np, self._w_np, self._x_np
         remaining = list(range(self.p))
         selected = []
         # ONE compiled program per position scores ALL remaining candidates
@@ -827,7 +888,7 @@ class GPARRegressor:
         _model_generator(vs, self.m, position, **self.model_config)()
         names = vs.select(None)
         z0 = vs.latent_vector(names)
-        dtype = self.x.dtype
+        dtype = self._data_dtype()
         mesh = _cfg.mesh
         c_pad = 0
         if mesh is not None:
@@ -1004,7 +1065,7 @@ class GPARRegressor:
         _model_generator(vs, self.m, pi, **self.model_config)()
         names = vs.select(None)
         z0 = vs.latent_vector(names)
-        dtype = self.x.dtype
+        dtype = self._data_dtype()
 
         cache_key = (
             "greedy_nll",
@@ -1265,7 +1326,7 @@ class GPARRegressor:
         if (
             restarts > 1
             and _cfg.mesh is not None
-            and self.x.dtype == jnp.float64
+            and np.dtype(self._data_dtype()) == np.float64
             and any(
                 d.platform == "tpu" for d in _cfg.mesh.devices.flat[:1]
             )
@@ -1621,7 +1682,11 @@ class GPARRegressor:
         exactly like :meth:`fit`.
         """
         self.condition(x, y, w)
-        x_test = self.x if x_test is None else _uprank(_to_jnp(x_test))
+        x_test = (
+            (self._x_np if self._x_np is not None else self.x)
+            if x_test is None
+            else _uprank(_to_jnp(x_test))
+        )
 
         self._ensure_vars(self.p)
         all_names = self.vs.select(None)
@@ -2828,7 +2893,7 @@ class GPARRegressor:
         if plan.sparse:
             return True
         n = plan.n if n_rows is None else n_rows
-        itemsize = np.dtype(np.asarray(self.x).dtype).itemsize
+        itemsize = np.dtype(self._data_dtype()).itemsize
         bytes_needed = plan.p * n * (n + plan.W + 1) * itemsize
         return bytes_needed <= _cfg.posterior_cache_max_bytes
 
