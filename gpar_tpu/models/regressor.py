@@ -500,15 +500,31 @@ class GPARRegressor:
             )
         return a[..., np.argsort(np.asarray(self.order))]
 
+    def _lazy_dev(self, attr, host):
+        """Materialise a device copy from a host copy on first access —
+        but NEVER cache from inside a jit/vmap/grad trace, where
+        ``jnp.asarray`` yields a traced constant whose escape would be a
+        leak (legacy objectives read ``self.x`` under trace; they get a
+        per-trace constant, exactly what the old eager attribute gave
+        them as a closure constant)."""
+        cur = getattr(self, attr)
+        if cur is not None or host is None:
+            return cur
+        from .gpar import _tracing_active
+
+        if _tracing_active():
+            return jnp.asarray(host)
+        val = jnp.asarray(host)
+        setattr(self, attr, val)
+        return val
+
     @property
     def x(self):
         """Conditioned inputs as a device array (``reg.x`` — reference
         attribute, ``gpar/regression.py:339-389``), materialised LAZILY
         from the host copy: the bucketed flows never read it, so fresh
         datasets skip the exact-shape upload (PERF.md finding 30)."""
-        if self._x_dev is None and self._x_np is not None:
-            self._x_dev = jnp.asarray(self._x_np)
-        return self._x_dev
+        return self._lazy_dev("_x_dev", self._x_np)
 
     @x.setter
     def x(self, v):
@@ -516,9 +532,7 @@ class GPARRegressor:
 
     @property
     def y(self):
-        if self._y_dev is None and self._y_np is not None:
-            self._y_dev = jnp.asarray(self._y_np)
-        return self._y_dev
+        return self._lazy_dev("_y_dev", self._y_np)
 
     @y.setter
     def y(self, v):
@@ -526,9 +540,7 @@ class GPARRegressor:
 
     @property
     def w(self):
-        if self._w_dev is None and self._w_np is not None:
-            self._w_dev = jnp.asarray(self._w_np)
-        return self._w_dev
+        return self._lazy_dev("_w_dev", self._w_np)
 
     @w.setter
     def w(self, v):
