@@ -200,6 +200,22 @@ def _device_plan_rows(x_pad, y_pad, w_pad, *, impute):
     return jnp.asarray(x_pad), rows
 
 
+def _mesh_pad_geometry(n_rows, n_dev, sparse):
+    """(pad, dense panel width) to bring ``n_rows`` to whole per-device
+    rows on an ``n_dev``-device mesh — static at trace time (``n_rows``
+    is a traced operand's static shape).  Sparse plans need only
+    divisibility; dense plans need whole distributed-Cholesky panels
+    (``parallel.dense._pad_geometry``).  The single source for every
+    bucketed mesh builder (fixed fit, free fit, prior logpdf)."""
+    if sparse:
+        return (-n_rows) % n_dev, None
+    from ..config import config as _cfg
+    from ..parallel.dense import _pad_geometry
+
+    nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
+    return n_dev * nloc_b - n_rows, blk
+
+
 def _static_plan_xs(xs_np):
     """The plan's model-structure scan inputs (everything but the per-row
     arrays), materialised as constants."""
@@ -1050,15 +1066,7 @@ def make_scan_fit_body(
         )
 
         def _geometry(n_rows):
-            """(pad, dense panel width) from the bucket size — static at
-            trace time (``n_rows`` is the traced x's static shape)."""
-            if sparse:
-                return (-n_rows) % n_dev, None
-            from ..config import config as _cfg
-            from ..parallel.dense import _pad_geometry
-
-            nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
-            return n_dev * nloc_b - n_rows, blk
+            return _mesh_pad_geometry(n_rows, n_dev, sparse)
 
         def program(z_all, x, layer_keys, xs_rows):
             xs_rows, zi_t = _pop_x_ind(xs_rows)
@@ -1453,13 +1461,7 @@ def make_scan_free_fit_body(
         # arrays ride as traced arguments, geometry padding is a static
         # function of the bucket size.
         def _geometry(n_rows):
-            if sparse:
-                return (-n_rows) % n_dev, None
-            from ..config import config as _cfg
-            from ..parallel.dense import _pad_geometry
-
-            nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
-            return n_dev * nloc_b - n_rows, blk
+            return _mesh_pad_geometry(n_rows, n_dev, sparse)
 
         def program(z_all, x, layer_keys, xs_rows):
             xs_rows, zi_t = _pop_x_ind(xs_rows)
@@ -1585,13 +1587,7 @@ def make_scan_logpdf_body(plan, x_ind, rows_traced=False, mesh=None,
     )
 
     def _geometry(n_rows):
-        if sparse:
-            return (-n_rows) % n_dev, None
-        from ..config import config as _cfg
-        from ..parallel.dense import _pad_geometry
-
-        nloc_b, blk = _pad_geometry(n_rows, n_dev, _cfg.dense_shard_block)
-        return n_dev * nloc_b - n_rows, blk
+        return _mesh_pad_geometry(n_rows, n_dev, sparse)
 
     def program(z_all, x, xs_rows=None):
         eps = resolve_epsilon(x.dtype)

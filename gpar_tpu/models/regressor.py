@@ -323,6 +323,20 @@ def _shared_jit(key, pins, build):
     return fn
 
 
+class _LazyYCache(dict):
+    """``per_output`` replay cache that builds each ``keep`` variant on
+    first subscript (see ``GPARRegressor._y_cache``)."""
+
+    def __init__(self, y_np, w_np):
+        super().__init__()
+        self._y_np, self._w_np = y_np, w_np
+
+    def __missing__(self, keep):
+        val = list(per_output(self._y_np, self._w_np, keep=keep))
+        self[keep] = val
+        return val
+
+
 def _init_weights(w, y):
     """Default weights are ones of ``y``'s shape
     (``gpar/regression.py:193-197``)."""
@@ -670,15 +684,16 @@ class GPARRegressor:
     @property
     def _y_cache(self):
         """Precomputed ``per_output`` replay items (the dict overload,
-        ``gpar/regression.py:412-414``), built LAZILY on first access:
-        the build is O(p²·n) host memcpy and only the legacy/unrolled
-        paths replay it — eagerly building it in ``condition`` cost
-        ~10 s at n=52.5k/p=32 (PERF.md finding 30)."""
+        ``gpar/regression.py:412-414``), built LAZILY — per ``keep``
+        variant, on first subscript: the build is O(p²·n) host memcpy
+        (~4.4 s at n=52.5k/p=32) and only the legacy/unrolled paths
+        replay it (PERF.md finding 30).  A real ``dict`` subclass, so
+        ``per_output``'s dict-overload isinstance check and the
+        ``cache[keep]`` call sites work unchanged — prefetching the
+        property (``y_cached = self._y_cache``) costs nothing until a
+        consumer actually subscripts it."""
         if self._y_cache_val is None and self._y_np is not None:
-            self._y_cache_val = {
-                k: list(per_output(self._y_np, self._w_np, keep=k))
-                for k in (True, False)
-            }
+            self._y_cache_val = _LazyYCache(self._y_np, self._w_np)
         return self._y_cache_val
 
     def _rebuild_data_caches(self, x_np=None, y_np=None, w_np=None):
@@ -2395,12 +2410,12 @@ class GPARRegressor:
         from .gpar import _sample_chain
 
         if posterior:
-            # Static mask plan for the closed-downwards conditioning, built
-            # host-side once per dataset by condition().
+            # Static mask plan for the closed-downwards conditioning
+            # (LAZY: builds on first subscript inside a program trace).
             y_cache = self._y_cache
-            x_data, m_in, p_out = self.x, self.m, self.p
+            m_in, p_out = self.m, self.p
         else:
-            x_data, m_in, p_out = None, x.shape[1], p
+            m_in, p_out = x.shape[1], p
 
         names = self.vs.select(None)
 
@@ -2634,7 +2649,14 @@ class GPARRegressor:
                 x_data_in, xs_rows = None, None
         else:
             nt_b, x_in, w_in = nt, x, w
-            mt, ms, xs_rows, x_data_in = None, None, None, x_data
+            mt, ms, xs_rows = None, None, None
+            # The exact-shape device copy materialises ONLY for programs
+            # that actually consume it (the legacy conditioning chain and
+            # the factors-in-program tails) — the cached-factor serving
+            # paths never upload it (PERF.md finding 30).
+            x_data_in = (
+                self.x if (posterior and factors is None) else None
+            )
 
         def finalize(batch, ms, nstats=None):
             # On-device reduction (predict): undo transforms (traced

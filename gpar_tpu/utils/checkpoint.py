@@ -27,10 +27,14 @@ def state_dict(reg):
     }
     data_state = None
     if reg.is_conditioned:
+        # Prefer the host copies condition() keeps: ``np.asarray(reg.x)``
+        # would lazily UPLOAD the array to the device and fetch it back
+        # through the relay (PERF.md finding 30).
+        hx = getattr(reg, "_x_np", None)
         data_state = {
-            "x": np.asarray(reg.x),
-            "y": np.asarray(reg.y),
-            "w": np.asarray(reg.w),
+            "x": hx if hx is not None else np.asarray(reg.x),
+            "y": reg._y_np if hx is not None else np.asarray(reg.y),
+            "w": reg._w_np if hx is not None else np.asarray(reg.w),
         }
     return {
         "format_version": 1,
