@@ -841,3 +841,61 @@ def test_bucketed_logpdf_under_mesh_matches_single_device():
         with _no_buckets():
             lp2_ref = reg.logpdf(xs2, ys2)
         approx(lp_mesh2, lp2_ref, rtol=1e-9, atol=1e-8)
+
+
+def test_bucketed_logpdf_edge_shapes():
+    # Degenerate shapes through the scan path: a single-output model, a
+    # one-row scored set, and scoring FEWER outputs than the conditioned
+    # model (prior scores the prefix chain; posterior falls back to the
+    # legacy width-flexible path) — all equal to the legacy program.
+    r = np.random.default_rng(0)
+    x = np.linspace(0, 5, 30)
+    y1 = np.sin(x)[:, None] + 0.05 * r.standard_normal((30, 1))
+    reg1 = GPARRegressor(noise=0.1, normalise_y=True)
+    reg1.condition(x, y1)
+    for xs, ys in [
+        (np.linspace(0, 5, 9), np.cos(np.linspace(0, 5, 9))[:, None]),
+        (np.array([2.5]), np.array([[0.3]])),
+    ]:
+        lb, lpb = reg1.logpdf(xs, ys), reg1.logpdf(xs, ys, posterior=True)
+        with _no_buckets():
+            approx(lb, reg1.logpdf(xs, ys), rtol=1e-9, atol=1e-8)
+            approx(
+                lpb, reg1.logpdf(xs, ys, posterior=True),
+                rtol=1e-9, atol=1e-8,
+            )
+
+    y3 = np.stack([np.sin(x), np.cos(x), 0.3 * x], 1)
+    reg3 = GPARRegressor(noise=0.1, normalise_y=False)
+    reg3.condition(x, y3)
+    ys2 = np.stack([np.sin(x), np.cos(x)], 1)
+    lb = reg3.logpdf(x, ys2)
+    lpb = reg3.logpdf(x, ys2, posterior=True)
+    with _no_buckets():
+        approx(lb, reg3.logpdf(x, ys2), rtol=1e-9, atol=1e-8)
+        approx(
+            lpb, reg3.logpdf(x, ys2, posterior=True), rtol=1e-9, atol=1e-8
+        )
+
+
+def test_bucketed_logpdf_after_checkpoint_roundtrip(tmp_path):
+    # A checkpoint-restored estimator must score through the SAME shared
+    # bucketed executables (the restored store traces byte-identical
+    # programs) and match the original to rounding.
+    from gpar_tpu.models.regressor import _SHARED_JIT_CACHE
+    from gpar_tpu.utils import checkpoint
+
+    x, y = _data(n=40, seed=1)
+    xs, ys = _data(n=30, seed=2)
+    reg = GPARRegressor(noise=0.1, normalise_y=True)
+    reg.fit(x, y, iters=3, key=jax.random.PRNGKey(0))
+    lp = reg.logpdf(xs, ys)
+    lpp = reg.logpdf(xs, ys, posterior=True)
+    keys = set(_SHARED_JIT_CACHE)
+
+    path = tmp_path / "reg.pkl"
+    checkpoint.save(reg, path)
+    reg2 = checkpoint.load(path)
+    approx(reg2.logpdf(xs, ys), lp, rtol=1e-12, atol=1e-12)
+    approx(reg2.logpdf(xs, ys, posterior=True), lpp, rtol=1e-12, atol=1e-12)
+    assert set(_SHARED_JIT_CACHE) == keys  # restored instance hit warm
