@@ -188,6 +188,7 @@ def main_serve():
           file=sys.stderr)
 
     lat = []
+    score_lat = []
     for i, n_i in enumerate(counts):
         x, y, f = make_data(n_i, p, seed=100 + i)
         xt = x[:: max(1, n_i // n_test)][:n_test]
@@ -201,20 +202,32 @@ def main_serve():
         dt = time.time() - t0
         assert np.isfinite(mean).all()
         lat.append(dt)
+        # Held-out scoring on the same fitted model (the bucketed logpdf
+        # programs; first dataset pays the one compile per bucket).
+        xs, ys, _ = make_data(2000 + 31 * i, p, seed=500 + i)
+        t0 = time.time()
+        lp = reg.logpdf(xs, ys)
+        lpp = reg.logpdf(xs, ys, posterior=True)
+        ds = time.time() - t0
+        assert np.isfinite(lp) and np.isfinite(lpp)
+        score_lat.append(ds)
         print(
             f"[bench-serve] request {i}: n={n_i} bucket={bucket_rows(n_i)} "
-            f"fit_predict {dt:.2f}s", file=sys.stderr,
+            f"fit_predict {dt:.2f}s  score(prior+post) {ds:.2f}s",
+            file=sys.stderr,
         )
     lat_sorted = sorted(lat)
     p50 = lat_sorted[len(lat) // 2]
     p95 = lat_sorted[min(len(lat) - 1, int(round(0.95 * (len(lat) - 1))))]
     first_per_bucket = {bucket_rows(counts[0]): lat[0],
                         bucket_rows(nB): lat[3]}
+    score_sorted = sorted(score_lat)
     print(
         f"[bench-serve] latency p50 {p50:.2f}s p95 {p95:.2f}s "
         f"(first request per bucket: "
         + ", ".join(f"{b}: {t:.2f}s" for b, t in first_per_bucket.items())
-        + ")",
+        + f"); held-out scoring p50 {score_sorted[len(score_lat) // 2]:.2f}s "
+        f"(first {score_lat[0]:.2f}s incl. compiles)",
         file=sys.stderr,
     )
     print(
