@@ -9,7 +9,7 @@ sys.path.insert(0, os.path.abspath(".."))
 project = "gpar-tpu"
 copyright = "2026, gpar-tpu developers"
 author = "gpar-tpu developers"
-release = "0.1.0"
+release = "0.2.0"
 
 extensions = [
     "sphinx.ext.autodoc",

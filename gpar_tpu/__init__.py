@@ -18,7 +18,7 @@ from .models.regressor import (  # noqa: F401
 )
 from .utils.rng import set_seed  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "GPAR",
