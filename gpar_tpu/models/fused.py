@@ -1627,7 +1627,8 @@ def make_scan_logpdf_body(plan, x_ind, rows_traced=False, mesh=None,
     return program
 
 
-def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
+def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False,
+                                    mesh=None, shard_axis="dp"):
     """Scan-fused POSTERIOR logpdf of new data given cached per-layer
     posterior factors: ``program(z_all, factors, x[, xs_rows, tr_mask])
     -> scalar`` — ``GPARRegressor.logpdf(posterior=True)``
@@ -1663,15 +1664,32 @@ def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
     With ``rows_traced``, the scored data's row arrays AND the training
     mask ride in as traced arguments — one executable per (model
     structure, training-row bucket, scored-row bucket).
+
+    With ``mesh`` (sparse plans only, requires ``rows_traced``), the
+    SCORED rows shard over ``shard_axis`` while the cached training
+    factors replicate: the posterior-prior Titsias statistics of the new
+    observations reduce through
+    :func:`gpar_tpu.parallel.sharded.titsias_psum_body` (one m² psum +
+    scalar psums per layer) — O(n_scored·M²/P) per device.  Dense plans
+    under a mesh stay on the GP-core distributed path (the cached dense
+    factor stack is O(p·n²) and the new-obs factorisation would need a
+    distributed nested Cholesky — not worth it while the factor-stack
+    budget caps dense n anyway).
     """
     m, p, W = plan.m, plan.p, plan.W
     sparse = plan.sparse
     xs_np = plan.xs
+    if mesh is not None and not (sparse and rows_traced):
+        raise ValueError(
+            "make_scan_posterior_logpdf_tail: the mesh form is sparse + "
+            "shape-bucketed only."
+        )
 
-    def program(z_all, factors, x, xs_rows=None, tr_mask=None):
+    def _run(z_all, x, xs, zi_t):
+        """The scoring chain proper, over pre-assembled scan inputs
+        (full data single-device, or one row shard under the mesh)."""
         dtype = x.dtype
         eps = resolve_epsilon(dtype)
-        xs_rows, zi_t = _pop_x_ind(xs_rows)
         z_ext = jnp.concatenate([z_all, jnp.zeros((1,), z_all.dtype)])
         x_aug = jnp.concatenate(
             [x, jnp.zeros((x.shape[0], W - m), dtype)], axis=1
@@ -1683,26 +1701,6 @@ def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
             )
         else:
             zi_aug = jnp.zeros((0, W), dtype)
-        if rows_traced:
-            xs = _static_plan_xs(xs_np)
-            xs.update(xs_rows)
-        else:
-            xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
-        xs["fac"] = factors
-        if not sparse:
-            if tr_mask is None:
-                # The scored plan's own obs_mask is NOT a valid stand-in:
-                # the cached L/alpha were factorised with the TRAINING
-                # chain's masked rows neutralised, and masking the
-                # cross-covariance with the scored data's NaN pattern
-                # would be silently wrong (or a shape error).
-                raise ValueError(
-                    "make_scan_posterior_logpdf_tail: dense factors need "
-                    "the training chain's per-layer observation masks "
-                    "(tr_mask, shape (p, n_train[_bucket]) — e.g. "
-                    "GPARRegressor._bucket_fit_inputs' obs_mask)."
-                )
-            xs["tr_mask"] = jnp.asarray(tr_mask)
 
         def step(carry, lin):
             x_aug, zi_aug = carry
@@ -1731,9 +1729,22 @@ def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
                     - jnp.sum(T1x * T1x, axis=0)
                     + jnp.sum(T2x * T2x, axis=0)
                 )
-                elbo, _Lm_n, _LB_n, beta_n = titsias_factors(
-                    Kmm_p, Kmn_p, knn_p, r, mean_x, noise_w, mask=omask
-                )
+                if mesh is None:
+                    elbo, _Lm_n, _LB_n, beta_n = titsias_factors(
+                        Kmm_p, Kmn_p, knn_p, r, mean_x, noise_w, mask=omask
+                    )
+                else:
+                    # Distributed new-obs statistics: same math, columns
+                    # local, one psum (parallel/sharded.titsias_psum_body;
+                    # Lm_p applied here exactly as titsias_factors does).
+                    from ..parallel.sharded import titsias_psum_body
+
+                    Lm_p = safe_cholesky(Kmm_p)
+                    A0 = solve_lower(Lm_p, Kmn_p)
+                    elbo, _LB_n, beta_n = titsias_psum_body(
+                        Lm_p, A0, knn_p, r - mean_x, noise_w, omask,
+                        shard_axis,
+                    )
                 nll = -elbo
                 # condition(f_post, obs_new).mean — the nested sparse
                 # posterior's mean (gp/core.py SparsePosteriorGP.mean_vec
@@ -1761,6 +1772,85 @@ def make_scan_posterior_logpdf_tail(plan, x_ind, rows_traced=False):
 
         _, layer_nll = lax.scan(step, (x_aug, zi_aug), xs)
         return -jnp.sum(layer_nll)
+
+    def _check_tr_mask(tr_mask):
+        if not sparse and tr_mask is None:
+            # The scored plan's own obs_mask is NOT a valid stand-in: the
+            # cached L/alpha were factorised with the TRAINING chain's
+            # masked rows neutralised, and masking the cross-covariance
+            # with the scored data's NaN pattern would be silently wrong
+            # (or a shape error).
+            raise ValueError(
+                "make_scan_posterior_logpdf_tail: dense factors need "
+                "the training chain's per-layer observation masks "
+                "(tr_mask, shape (p, n_train[_bucket]) — e.g. "
+                "GPARRegressor._bucket_fit_inputs' obs_mask)."
+            )
+
+    if mesh is None:
+
+        def program(z_all, factors, x, xs_rows=None, tr_mask=None):
+            _check_tr_mask(tr_mask)
+            xs_rows, zi_t = _pop_x_ind(xs_rows)
+            if rows_traced:
+                xs = _static_plan_xs(xs_np)
+                xs.update(xs_rows)
+            else:
+                xs = {k: jnp.asarray(v) for k, v in xs_np.items()}
+            xs["fac"] = factors
+            if not sparse:
+                xs["tr_mask"] = jnp.asarray(tr_mask)
+            return _run(z_all, x, xs, zi_t)
+
+        return program
+
+    # Mesh form (sparse + bucketed, validated above): scored rows shard,
+    # cached factors replicate, model-structure inputs ride as committed
+    # replicated device arrays (the shard_map constant-folding hazard,
+    # PERF.md finding 18).
+    from jax.sharding import PartitionSpec as PSpec
+
+    n_dev = mesh.devices.size
+    xs_static_dev = _shard_plan_xs(
+        {k: v for k, v in xs_np.items() if k not in _ROW_KEYS},
+        mesh, shard_axis, 0,
+    )
+
+    def program(z_all, factors, x, xs_rows=None, tr_mask=None):
+        xs_rows, zi_t = _pop_x_ind(xs_rows)
+        n_pad_b = (-x.shape[0]) % n_dev
+        x_p = jnp.pad(x, ((0, n_pad_b), (0, 0))) if n_pad_b else x
+        xs = dict(xs_static_dev)
+        for k, v in xs_rows.items():
+            if n_pad_b:
+                cval = 1.0 if k == "w_col" else 0.0
+                v = jnp.pad(v, ((0, 0), (0, n_pad_b)), constant_values=cval)
+            xs[k] = v
+        xs["fac"] = factors
+        xs_specs = {
+            k: (PSpec(None, shard_axis) if k in _ROW_KEYS else PSpec())
+            for k in xs
+        }
+        xs_specs["fac"] = PSpec()  # pytree prefix: whole factor stack
+
+        def local(z_all, x_loc, xs_loc, zi_t=None):
+            return _run(z_all, x_loc, xs_loc, zi_t)
+
+        if zi_t is not None:
+            fn = jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(PSpec(), PSpec(shard_axis), xs_specs, PSpec()),
+                out_specs=PSpec(),
+            )
+            return fn(z_all, x_p, xs, zi_t)
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(PSpec(), PSpec(shard_axis), xs_specs),
+            out_specs=PSpec(),
+        )
+        return fn(z_all, x_p, xs)
 
     return program
 

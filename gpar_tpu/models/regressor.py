@@ -2166,18 +2166,19 @@ class GPARRegressor:
         # instances share the executable (``_shared_jit``).
         # ``sample_missing`` (needs in-chain draws) stays on the legacy
         # exact-shape program below, as does ``config.shape_buckets=
-        # False``.  Under an active mesh the PRIOR chain runs the
-        # bucketed scan inside one shard_map (rows sharded, same geometry
-        # as the mesh fit) when there are enough rows to shard; the
-        # posterior tail and small-n mesh scoring use the GP-core path,
-        # which shards through ``Obs``/``PseudoObs``'s distributed
-        # branches.
+        # False``.  Under an active mesh the scan programs run inside one
+        # shard_map (scored rows sharded, same geometry as the mesh fit)
+        # when there are enough rows to shard — the prior chain always,
+        # the posterior tail for SPARSE models (replicated cached
+        # factors + one psum per layer).  Dense posterior scoring and
+        # small-n mesh scoring use the GP-core path, which shards
+        # through ``Obs``/``PseudoObs``'s distributed branches.
         from ..config import config as _cfg
 
         mesh_ok = _cfg.mesh is None or (
-            not posterior
-            and y_np.shape[0]
+            y_np.shape[0]
             >= max(_cfg.shard_min_rows, _cfg.mesh.devices.size)
+            and (not posterior or self.sparse)
         )
         if (
             not sample_missing
@@ -2307,10 +2308,13 @@ class GPARRegressor:
             mesh_descriptor(),
         ) + self._bucket_share_key(plan)
 
+        from ..config import config as _cfg2
+
         def _build():
             return jax.jit(
                 make_scan_posterior_logpdf_tail(
-                    plan, self.x_ind, rows_traced=True
+                    plan, self.x_ind, rows_traced=True,
+                    mesh=_cfg2.mesh, shard_axis=_cfg2.shard_axis,
                 )
             )
 

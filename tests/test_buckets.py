@@ -842,6 +842,21 @@ def test_bucketed_logpdf_under_mesh_matches_single_device():
             lp2_ref = reg.logpdf(xs2, ys2)
         approx(lp_mesh2, lp2_ref, rtol=1e-9, atol=1e-8)
 
+        if reg.sparse:
+            # Sparse POSTERIOR scoring under the mesh: cached factors
+            # replicate, scored rows shard, the per-layer posterior-prior
+            # Titsias statistics psum-reduce — equal to single-device.
+            lpp_single = reg.logpdf(xs1, ys1, posterior=True)
+            with gpar_tpu.use_mesh(mesh, min_rows=8):
+                lpp_mesh = reg.logpdf(xs1, ys1, posterior=True)
+                keys = set(_SHARED_JIT_CACHE)
+                lpp_mesh2 = reg.logpdf(xs2, ys2, posterior=True)
+                assert set(_SHARED_JIT_CACHE) == keys
+            approx(lpp_mesh, lpp_single, rtol=1e-9, atol=1e-8)
+            with _no_buckets():
+                lpp2_ref = reg.logpdf(xs2, ys2, posterior=True)
+            approx(lpp_mesh2, lpp2_ref, rtol=1e-9, atol=1e-8)
+
 
 def test_bucketed_logpdf_edge_shapes():
     # Degenerate shapes through the scan path: a single-output model, a
